@@ -1,0 +1,1 @@
+from .receding import ClosedLoopResult, make_receding_horizon, shift_warm_start

@@ -1,0 +1,106 @@
+"""Receding-horizon closed-loop driver — one compiled scan, not a Python loop.
+
+The reference's L3 layer is a Python ``while``/``for`` loop that, per control
+step, injects parameters, calls IPOPT across the C++ boundary, applies the
+first control, steps the plant, and warm-starts by shifting
+(``Casadi/single_shooting_v1.py:164-214``,
+``Trajectory Tracking/Trajectory_tracking.py:100-126``).
+
+Here the entire closed loop is a single ``lax.scan`` whose body contains the
+full iLQR solve: the solver's XLA executable stays resident on device for the
+whole simulation, there is no host round-trip per step, and ``jax.vmap`` over
+the driver batches whole closed-loop *simulations* (different initial states,
+references, or tuning configs — the axis ``Phiref.py:24-28`` sweeps serially).
+
+Warm starting mirrors the reference exactly: the previous solution shifted by
+one stage with the last control repeated (``single_shooting_v1.py:17-27``,
+``solver.saveguess()`` + ``fixvar("x", 0, var["x", 1])`` in the mpctools
+scripts).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ocp.spec import OCP
+
+
+class ClosedLoopResult(struct.PyTreeNode):
+    xs: jnp.ndarray           # (Nsim+1, nx) closed-loop state trajectory
+    us: jnp.ndarray           # (Nsim, nu) applied controls
+    costs: jnp.ndarray        # (Nsim,) OCP cost per solve
+    iterations: jnp.ndarray   # (Nsim,) solver iterations per step
+    converged: jnp.ndarray    # (Nsim,) solver convergence flags
+    predicted: Optional[jnp.ndarray] = None  # (Nsim, N+1, nx) horizons
+
+
+def shift_warm_start(us):
+    """Shift the control plan one stage, repeating the last control.
+
+    Equivalent to ``shift_timestep``'s ``horzcat(u[:,1:], u[:,-1])``
+    (``Casadi/single_shooting_v1.py:22-26``).
+    """
+    return jnp.concatenate([us[1:], us[-1:]], axis=0)
+
+
+def make_receding_horizon(
+    ocp: OCP,
+    solve: Callable,
+    plant_step: Callable,
+    n_steps: int,
+    record_predictions: bool = False,
+):
+    """Build the jitted closed-loop runner.
+
+    Args:
+      ocp: the OCP the solver was built for (for shapes).
+      solve: ``solve(x0, params, us_init) -> ILQRResult`` from
+        ``make_ilqr_solver``.
+      plant_step: ``(x, u, p_plant) -> x_next`` — the *plant* integrator,
+        deliberately separate from the controller model (the reference
+        integrates the continuous model for the plant while the controller
+        uses the discretized one, ``Trajectory_tracking_lateral_error.py:41-47``).
+      n_steps: Nsim, number of closed-loop steps (static).
+      record_predictions: also record each step's predicted horizon (the
+        ``pred += [solver.var["x",:,:]]`` pattern).
+
+    Returns ``run(x0, params_seq, plant_params, us_init) -> ClosedLoopResult``:
+      params_seq: (Nsim, N+1, npar) per-step stage-parameter tensors — the
+        ``par[:, k, t]`` tensor of ``Trajectory_tracking.py:84-97`` — or None.
+      plant_params: (Nsim, ...) per-step plant parameters, or None.
+    """
+    N = ocp.N
+
+    def run(x0, params_seq=None, plant_params=None, us_init=None):
+        dt_f = jnp.result_type(float)
+        x0 = jnp.asarray(x0, dtype=dt_f)
+        if us_init is None:
+            us_init = jnp.zeros((N, ocp.nu), dtype=dt_f)
+        if params_seq is None:
+            params_seq = jnp.zeros((n_steps, N + 1, max(ocp.npar, 1)), dtype=dt_f)
+        if plant_params is None:
+            plant_params = jnp.zeros((n_steps, 1), dtype=dt_f)
+
+        def step(carry, inp):
+            x, us_warm = carry
+            params_t, pp_t = inp
+            res = solve(x, params_t, us_warm)
+            u0 = res.us[0]
+            x_next = plant_step(x, u0, pp_t)
+            us_next = shift_warm_start(res.us)
+            out = (x, u0, res.cost, res.iterations, res.converged,
+                   res.xs if record_predictions else jnp.zeros((0,), dtype=dt_f))
+            return (x_next, us_next), out
+
+        (xN, _), (xs, us, costs, iters, conv, preds) = jax.lax.scan(
+            step, (x0, us_init), (params_seq, plant_params))
+        xs = jnp.concatenate([xs, xN[None]], axis=0)
+        return ClosedLoopResult(
+            xs=xs, us=us, costs=costs, iterations=iters, converged=conv,
+            predicted=preds if record_predictions else None,
+        )
+
+    return run
