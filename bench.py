@@ -1,0 +1,125 @@
+"""Benchmark: batched MPC solves/s on TPU at N=40 (BASELINE.md headline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The workload is the reference's diff-drive point-stabilization problem
+(``Casadi/single_shooting_v1.py`` constants) at horizon N=40, batched over
+random initial states, solved by the box-iLQR solver in f32.  ``vs_baseline``
+normalizes against the per-chip share of BASELINE.json's north-star target
+(>=10,000 solves/s on a 16-chip v5e slice -> 625 solves/s/chip).
+
+Run directly on this image: the default backend is the single real TPU chip.
+``--cpu`` pins to host CPU for a smoke run.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build(N: int, max_iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    import mpc_verde_tpu as mv
+    from mpc_verde_tpu.models import unicycle
+    from mpc_verde_tpu.ops import rk4_step
+
+    T = 0.2
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1], dtype=jnp.float32))
+    R = jnp.diag(jnp.array([0.5, 0.05], dtype=jnp.float32))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    import numpy as np
+
+    ocp = mv.OCP(
+        dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+        N=N, nx=3, nu=2, npar=3,
+        control_bounds=mv.box_bounds(
+            jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])),
+    )
+    opts = mv.ILQROptions(max_iters=max_iters, tol_grad=1e-4, tol_cost=1e-7)
+    solve = mv.make_ilqr_solver(ocp, opts)
+    return ocp, jax.jit(jax.vmap(solve))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="pin to host CPU")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--horizon", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=28, help="max iLQR iterations")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    if args.cpu:
+        from mpc_verde_tpu.utils import force_cpu
+
+        force_cpu()
+
+    import jax
+
+    # Persistent compilation cache: the ~3 min remote TPU compile of the
+    # batched solver amortizes across bench invocations.
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    backend = jax.default_backend()
+    ocp, vsolve = build(args.horizon, args.iters)
+
+    B, N = args.batch, args.horizon
+    rng = np.random.default_rng(0)
+    target = jnp.array([10.0, 10.0, 0.0], dtype=jnp.float32)
+    x0s = jnp.array(rng.uniform(-2.0, 2.0, (B, 3)), dtype=jnp.float32)
+    params = jnp.broadcast_to(target, (B, N + 1, 3)).astype(jnp.float32)
+    us0 = jnp.zeros((B, N, 2), dtype=jnp.float32)
+
+    t0 = time.time()
+    res = vsolve(x0s, params, us0)
+    jax.block_until_ready(res.us)
+    compile_s = time.time() - t0
+
+    # steady state
+    times = []
+    for r in range(args.reps):
+        xr = x0s + jnp.float32(0.001 * (r + 1))
+        t0 = time.time()
+        res = vsolve(xr, params, us0)
+        jax.block_until_ready(res.us)
+        times.append(time.time() - t0)
+    dt = min(times)
+    solves_per_s = B / dt
+
+    per_chip_target = 10000.0 / 16.0  # BASELINE.json: >=10k on v5e-16
+    out = {
+        "metric": f"batched_mpc_solves_per_s_chip_N{N}",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / per_chip_target, 3),
+        "backend": backend,
+        "batch": B,
+        "max_iters": args.iters,
+        "converged_frac": round(float(res.converged.mean()), 4),
+        "mean_iterations": round(float(res.iterations.mean()), 2),
+        "compile_s": round(compile_s, 1),
+        "steady_ms": round(dt * 1e3, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,35 @@ def quadratize_cost(l: Callable):
     return quad
 
 
-def linearize_trajectory(F: Callable, l: Callable, xs, us, ps):
+def dynamics_hessians(F: Callable):
+    """Return ``(x, u, p) -> (fxx, fux, fuu)`` — second derivatives of the
+    discrete step, for full DDP backward passes.
+
+    Shapes: fxx (nx, nx, nx) with fxx[i, j, k] = d2 F_i / dx_j dx_k;
+    fux (nx, nu, nx); fuu (nx, nu, nu).  At nx <= 6 these are a handful of
+    extra fused HLOs per stage — cheap on the VPU, and they buy quadratic
+    local convergence (iLQR's Gauss-Newton tail is what stalls on
+    unicycle-type problems).
+    """
+
+    def hess(x, u, p):
+        nx = x.shape[-1]
+        z = jnp.concatenate([x, u])
+
+        def Fz(zz):
+            return F(zz[:nx], zz[nx:], p)
+
+        H = jax.jacfwd(jax.jacfwd(Fz))(z)  # (nx_out, nz, nz)
+        fxx = H[:, :nx, :nx]
+        fux = H[:, nx:, :nx]
+        fuu = H[:, nx:, nx:]
+        return fxx, fux, fuu
+
+    return hess
+
+
+def linearize_trajectory(F: Callable, l: Callable, xs, us, ps,
+                         second_order: bool = False):
     """Linearize dynamics + quadratize cost along a trajectory.
 
     Args:
@@ -63,6 +91,7 @@ def linearize_trajectory(F: Callable, l: Callable, xs, us, ps):
       xs: (N, nx) states at stages 0..N-1.
       us: (N, nu) controls.
       ps: (N, np) per-stage parameters (or None).
+      second_order: also return dynamics Hessians (DDP).
 
     Returns dict of stage-stacked derivative tensors.
     """
@@ -70,4 +99,9 @@ def linearize_trajectory(F: Callable, l: Callable, xs, us, ps):
     quad = quadratize_cost(l)
     fx, fu = jax.vmap(lin)(xs, us, ps)
     lx, lu, lxx, luu, lux = jax.vmap(quad)(xs, us, ps)
-    return {"fx": fx, "fu": fu, "lx": lx, "lu": lu, "lxx": lxx, "luu": luu, "lux": lux}
+    out = {"fx": fx, "fu": fu, "lx": lx, "lu": lu, "lxx": lxx, "luu": luu,
+           "lux": lux}
+    if second_order:
+        fxx, fux, fuu = jax.vmap(dynamics_hessians(F))(xs, us, ps)
+        out.update({"fxx": fxx, "fux": fux, "fuu": fuu})
+    return out

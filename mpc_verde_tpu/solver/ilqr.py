@@ -53,6 +53,11 @@ class ILQROptions:
     reg_down: float = 8.0
     n_alphas: int = 12
     alpha_decay: float = 0.5
+    # consecutive failed line searches before declaring numerical stationarity
+    stall_iters: int = 3
+    # full DDP (second-order dynamics terms in the backward pass): quadratic
+    # local convergence; cheap at the tiny state dims of this model zoo
+    use_ddp: bool = True
     # Augmented Lagrangian (state bounds); al_iters=0 disables.
     al_iters: int = 0
     al_mu0: float = 10.0
@@ -166,6 +171,7 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             lambda x, u, p_l: F(x, u, p_l[0]),
             lambda x, u, p_l: stage_cost_aug(x, u, p_l[0], p_l[1], mu),
             xs[:N], us, (ps[:N], lam[:N]),
+            second_order=opt.use_ddp,
         )
         # Terminal value function.
         gN = jax.grad(lambda x: term_cost_aug(x, ps[N], lam[N], mu))(xs[N])
@@ -177,12 +183,21 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
 
         def stage(carry, inp):
             Vx, Vxx, dV1, dV2, gmax = carry
-            fx, fu, lx, lu, lxx, luu, lux, lo, hi = inp
+            if opt.use_ddp:
+                fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu, lo, hi = inp
+            else:
+                fx, fu, lx, lu, lxx, luu, lux, lo, hi = inp
             Qx = lx + fx.T @ Vx
             Qu = lu + fu.T @ Vx
             Qxx = lxx + fx.T @ Vxx @ fx
             Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=lu.dtype)
             Qux = lux + fu.T @ Vxx @ fx
+            if opt.use_ddp:
+                # Full DDP: contract the value gradient with the dynamics
+                # Hessians (Tassa-style second-order terms).
+                Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, fxx)
+                Qux = Qux + jnp.einsum("i,ijk->jk", Vx, fux)
+                Quu = Quu + jnp.einsum("i,ijk->jk", Vx, fuu)
             k_ff, K, free = _stage_boxqp_with_gain(Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
             dV1 = dV1 + k_ff @ Qu
             dV2 = dV2 + 0.5 * k_ff @ Quu @ k_ff
@@ -197,10 +212,17 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             gmax = jnp.maximum(gmax, jnp.max(jnp.abs(pg)))
             return (Vx_n, Vxx_n, dV1, dV2, gmax), (k_ff, K)
 
-        init = (gN, HN, jnp.zeros((), gN.dtype), jnp.zeros((), gN.dtype),
-                jnp.zeros((), gN.dtype))
-        inputs = (d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"], d["luu"], d["lux"],
-                  dlb, dub)
+        # Varying-zero: derived from traced data so the scan carry has
+        # consistent device-varying type under shard_map (a literal
+        # jnp.zeros(()) would be replicated and fail the carry type check).
+        vz = jnp.sum(gN) * 0.0
+        init = (gN, HN, vz, vz, vz)
+        if opt.use_ddp:
+            inputs = (d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"], d["luu"],
+                      d["lux"], d["fxx"], d["fux"], d["fuu"], dlb, dub)
+        else:
+            inputs = (d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"], d["luu"],
+                      d["lux"], dlb, dub)
         (_, _, dV1, dV2, gmax), (kffs, Ks) = jax.lax.scan(
             stage, init, inputs, reverse=True)
         return kffs, Ks, dV1, dV2, gmax
@@ -226,11 +248,11 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         xs0, us0, cost0 = rollout(x0, us_init, ps, lam, mu)
 
         def cond(carry):
-            xs, us, cost, reg, it, done, gnorm = carry
+            xs, us, cost, reg, it, done, gnorm, stall = carry
             return jnp.logical_and(it < opt.max_iters, jnp.logical_not(done))
 
         def body(carry):
-            xs, us, cost, reg, it, done, gnorm = carry
+            xs, us, cost, reg, it, done, gnorm, stall = carry
             kffs, Ks, dV1, dV2, gmax = backward(xs, us, ps, lam, mu, reg)
 
             xs_c, us_c, costs_c = jax.vmap(
@@ -240,29 +262,43 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             new_cost = costs_c[best]
             improved = new_cost < cost - 1e-12
 
-            xs_n = jnp.where(improved, xs_c[best], xs)
-            us_n = jnp.where(improved, us_c[best], us)
-            cost_n = jnp.where(improved, new_cost, cost)
-            reg_n = jnp.where(
-                improved,
-                jnp.maximum(reg / opt.reg_down, opt.reg_min),
-                jnp.minimum(reg * opt.reg_up, opt.reg_max),
-            )
             small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
-            done_n = jnp.logical_or(
-                gmax < opt.tol_grad,
-                jnp.logical_and(improved, small_step),
+            stall_n = jnp.where(improved, 0, stall + 1)
+            new_done = (
+                (gmax < opt.tol_grad)
+                | (improved & small_step)
+                # line search can't improve despite growing regularization:
+                # stationary to working precision (the practical f32 stop)
+                | (stall_n >= opt.stall_iters)
+                | ((~improved) & (reg >= opt.reg_max))
             )
-            # Regularization exhausted without improvement -> stop.
-            done_n = jnp.logical_or(done_n,
-                                    jnp.logical_and(~improved, reg >= opt.reg_max))
-            return (xs_n, us_n, cost_n, reg_n, it + 1, done_n, gmax)
 
-        reg0 = jnp.asarray(opt.reg_init, dtype=cost0.dtype)
-        carry0 = (xs0, us0, cost0, reg0, jnp.zeros((), jnp.int32),
-                  jnp.zeros((), bool), jnp.full((), jnp.inf, cost0.dtype))
-        xs, us, cost, reg, it, done, gnorm = jax.lax.while_loop(cond, body, carry0)
-        return xs, us, cost, it, gnorm
+            # Per-element freeze: under vmap a converged batch member must be
+            # a no-op (otherwise its `done` can flip back off and the whole
+            # batched while_loop runs to max_iters for everyone).
+            keep = done
+            xs_n = jnp.where(keep, xs, jnp.where(improved, xs_c[best], xs))
+            us_n = jnp.where(keep, us, jnp.where(improved, us_c[best], us))
+            cost_n = jnp.where(keep, cost, jnp.where(improved, new_cost, cost))
+            reg_n = jnp.where(
+                keep, reg,
+                jnp.where(improved,
+                          jnp.maximum(reg / opt.reg_down, opt.reg_min),
+                          jnp.minimum(reg * opt.reg_up, opt.reg_max)))
+            it_n = jnp.where(keep, it, it + 1)
+            stall_out = jnp.where(keep, stall, stall_n)
+            done_n = done | new_done
+            gnorm_n = jnp.where(keep, gnorm, gmax)
+            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n, stall_out)
+
+        # Varying-zero keeps while_loop carry types consistent under shard_map.
+        vz = cost0 * 0.0
+        viz = jnp.int32(0) + vz.astype(jnp.int32)
+        reg0 = jnp.asarray(opt.reg_init, dtype=cost0.dtype) + vz
+        carry0 = (xs0, us0, cost0, reg0, viz,
+                  vz > 1.0, jnp.full((), jnp.inf, cost0.dtype) + vz, viz)
+        xs, us, cost, reg, it, done, gnorm, _ = jax.lax.while_loop(cond, body, carry0)
+        return xs, us, cost, it, gnorm, done
 
     def solve(x0, params=None, us_init=None):
         dt_f = jnp.result_type(float)
@@ -278,32 +314,31 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         us_init = jnp.asarray(us_init, dtype=dt_f)
 
         nlam = 2 * nx
-        lam0 = jnp.zeros((N + 1, nlam), dtype=dt_f)
-        mu0 = jnp.asarray(opt.al_mu0, dtype=dt_f)
+        vz0 = jnp.sum(x0) * 0.0  # varying-zero (see inner_solve)
+        lam0 = jnp.zeros((N + 1, nlam), dtype=dt_f) + vz0
+        mu0 = jnp.asarray(opt.al_mu0, dtype=dt_f) + vz0
 
         if al_iters == 0:
-            xs, us, cost, it, gnorm = inner_solve(x0, ps, us_init, lam0, mu0)
+            xs, us, cost, it, gnorm, done = inner_solve(x0, ps, us_init, lam0, mu0)
             viol = jnp.zeros((), dtype=dt_f)
         else:
             def al_round(carry, _):
                 us_c, lam, mu = carry
-                xs, us_n, cost, it, gnorm = inner_solve(x0, ps, us_c, lam, mu)
+                xs, us_n, cost, it, gnorm, done = inner_solve(x0, ps, us_c, lam, mu)
                 cvals = jax.vmap(_xviol)(xs)
                 cvals = jnp.where(jnp.isfinite(cvals), cvals, -1.0)
                 lam_n = jnp.maximum(0.0, lam + mu * cvals)
-                return (us_n, lam_n, mu * opt.al_mu_factor), (xs, cost, it, gnorm)
+                return (us_n, lam_n, mu * opt.al_mu_factor), (xs, cost, it, gnorm, done)
 
-            (us, lam, mu), (xss, costs, its, gnorms) = jax.lax.scan(
+            (us, lam, mu), (xss, costs, its, gnorms, dones) = jax.lax.scan(
                 al_round, (us_init, lam0, mu0), None, length=al_iters)
             xs = xss[-1]
-            cost, it, gnorm = costs[-1], its[-1], gnorms[-1]
+            cost, it, gnorm, done = costs[-1], its[-1], gnorms[-1], dones[-1]
             cviol = jax.vmap(_xviol)(xs)
             viol = jnp.max(jnp.maximum(0.0, jnp.where(jnp.isfinite(cviol), cviol, 0.0)))
 
         final_cost = true_cost(xs, us, ps)
-        # The inner loop exits early only on tolerance (or exhausted reg);
-        # hitting max_iters without the done flag means non-convergence.
-        converged = it < opt.max_iters
+        converged = done
         return ILQRResult(
             xs=xs, us=us, cost=final_cost, grad_norm=gnorm,
             iterations=it, converged=converged, max_violation=viol,

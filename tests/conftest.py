@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# sitecustomize merges platforms into "axon,cpu" (TPU first); config.update is
+# the only deterministic way to pin the backend after that.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -1,0 +1,53 @@
+"""Closed-loop receding-horizon tests against reference run-level facts."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mpc_verde_tpu as mv
+from mpc_verde_tpu.models import unicycle
+from mpc_verde_tpu.ops import rk4_step, euler_step
+from mpc_verde_tpu.runtime import make_receding_horizon, shift_warm_start
+
+T, N = 0.2, 10
+TARGET = np.array([10.0, 10.0, 0.0])
+
+
+def test_shift_warm_start():
+    us = jnp.arange(6.0).reshape(3, 2)
+    s = shift_warm_start(us)
+    assert np.allclose(np.array(s), [[2, 3], [4, 5], [4, 5]])
+
+
+@pytest.mark.slow
+def test_diffdrive_point_stabilization_closed_loop():
+    """The reference reaches ||x - target|| < 0.1 in 84 steps with Euler plant
+    (Casadi/single_shooting_v1.py:166,232-235).  Our closed loop must do at
+    least as well within the same budget."""
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                 N=N, nx=3, nu=2, npar=3,
+                 control_bounds=mv.box_bounds(
+                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
+    solve = mv.make_ilqr_solver(ocp, mv.ILQROptions(max_iters=40))
+    plant = euler_step(unicycle.f, T)  # reference plant: Euler shift (:17-27)
+    Nsim = 100
+    run = jax.jit(make_receding_horizon(
+        ocp, solve, lambda x, u, pp: plant(x, u, None), Nsim))
+    params_seq = jnp.broadcast_to(jnp.array(TARGET), (Nsim, N + 1, 3))
+    res = run(jnp.zeros(3), params_seq)
+    errs = np.linalg.norm(np.array(res.xs)[:, :2] - TARGET[None, :2], axis=1)
+    first_hit = int(np.argmax(errs < 0.1))
+    assert errs.min() < 0.1, "never reached the target"
+    assert first_hit <= 84, f"took {first_hit} steps; reference takes 84"
+    # controls respect bounds throughout
+    us = np.array(res.us)
+    assert us[:, 0].max() <= 1.0 + 1e-6 and us[:, 0].min() >= -1.0 - 1e-6
+    assert np.abs(us[:, 1]).max() <= np.pi / 4 + 1e-6

@@ -1,0 +1,59 @@
+"""Sharded batched solve on a virtual 8-device CPU mesh.
+
+SURVEY.md §4(d): multi-chip tests fake the mesh with
+``--xla_force_host_platform_device_count=8`` and assert numerics identical to
+the single-chip path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mpc_verde_tpu as mv
+from mpc_verde_tpu.models import unicycle
+from mpc_verde_tpu.ops import rk4_step
+from mpc_verde_tpu.parallel import batch_mesh, make_sharded_solver
+
+T, N = 0.2, 8
+TARGET = jnp.array([5.0, 5.0, 0.0])
+
+
+def _solver():
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                 N=N, nx=3, nu=2, npar=3,
+                 control_bounds=mv.box_bounds(
+                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
+    return mv.make_ilqr_solver(ocp)
+
+
+def test_mesh_has_8_devices():
+    mesh = batch_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_solve_matches_vmap():
+    solve = _solver()
+    mesh = batch_mesh()
+    B = 16
+    rng = np.random.default_rng(7)
+    x0s = jnp.array(rng.uniform(-1, 1, (B, 3)))
+    params = jnp.broadcast_to(TARGET, (B, N + 1, 3))
+    us0 = jnp.zeros((B, N, 2))
+
+    sharded = make_sharded_solver(solve, mesh)
+    res_s, stats = sharded(x0s, params, us0)
+
+    res_v = jax.jit(jax.vmap(solve))(x0s, params, us0)
+    assert np.allclose(np.array(res_s.us), np.array(res_v.us), atol=1e-12)
+    assert np.allclose(np.array(res_s.cost), np.array(res_v.cost), atol=1e-12)
+    assert int(stats.n_total) == B
+    assert int(stats.n_converged) == int(res_v.converged.sum())
+    assert float(stats.mean_cost) == pytest.approx(float(res_v.cost.mean()), rel=1e-12)

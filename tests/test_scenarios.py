@@ -1,0 +1,59 @@
+"""Scenario-family integration tests (short closed loops).
+
+Acceptance targets follow the reference's own run-level facts: the diff-drive
+loop reaches the target in <= 84 steps (``single_shooting_v1.py:232-235``);
+tracking families must converge every step with small tracking error.
+"""
+import numpy as np
+import pytest
+
+from mpc_verde_tpu import scenarios as sc
+
+
+@pytest.mark.slow
+def test_diffdrive_family():
+    m = sc.run_diffdrive(sc.build_diffdrive(n_steps=90))
+    assert m["steps_to_target"] > 0 and m["steps_to_target"] <= 84
+    assert m["converged_all"]
+    assert m["ss_error"] < 0.1
+
+
+@pytest.mark.slow
+def test_circular_family():
+    m = sc.run_circular_tracking(sc.build_circular_tracking(n_steps=120))
+    assert m["converged_frac"] == 1.0
+    assert m["rmse_xy"] < 0.2
+
+
+@pytest.mark.slow
+def test_lti_family():
+    m = sc.run_lane_change_lti(sc.build_lane_change_lti(n_steps=250))
+    assert m["converged_frac"] == 1.0
+    assert m["mean_y"] < 1e-3
+    assert m["mean_phi"] < 1e-3
+
+
+@pytest.mark.slow
+def test_ltv_family():
+    m = sc.run_lane_change_ltv(sc.build_lane_change_ltv(n_steps=250))
+    assert m["converged_frac"] == 1.0
+    assert m["mse"] < 1e-2
+    assert m["mean_path_dist"] < 0.1
+
+
+@pytest.mark.slow
+def test_dynamic_family_runs_stably():
+    # the reference script for this family is itself buggy (SURVEY.md §2.1);
+    # we assert stable convergence, not tracking quality
+    m = sc.run_dynamic_bicycle(sc.build_dynamic_bicycle(n_steps=200))
+    assert m["converged_frac"] == 1.0
+    assert np.isfinite(m["mse_y"])
+
+
+@pytest.mark.slow
+def test_frenet_family():
+    m = sc.run_frenet(sc.build_frenet(n_steps=120))
+    assert m["converged_frac"] == 1.0
+    assert m["mse_y"] < 1e-3
+    assert m["max_delta"] <= 0.384 + 1e-8
+    assert m["max_delta_rate"] <= 0.1225 + 1e-8
