@@ -45,8 +45,13 @@ def build(N: int, max_iters: int):
             jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])),
     )
     opts = mv.ILQROptions(max_iters=max_iters, tol_grad=1e-4, tol_cost=1e-7)
-    solve = mv.make_ilqr_solver(ocp, opts)
-    return ocp, jax.jit(jax.vmap(solve))
+    # batch-major solver with the Pallas Riccati backward kernel on TPU;
+    # plain vmapped-XLA path on CPU
+    from mpc_verde_tpu.solver.batched import make_batched_ilqr_solver
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    solve = make_batched_ilqr_solver(ocp, opts, backend=backend)
+    return ocp, jax.jit(solve)
 
 
 def main():

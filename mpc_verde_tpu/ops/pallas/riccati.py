@@ -1,0 +1,388 @@
+"""Pallas TPU kernel: batched Riccati backward pass with exact box-QP stages.
+
+This is the solver's hot loop (~70% of solve time as vmapped XLA: 40
+sequential scan steps, each dispatching dozens of tiny ops).  The kernel
+restructures it TPU-natively:
+
+  * **Batch-major structure-of-arrays**: each (8, 128) VPU tile holds one
+    matrix *entry* for 1024 independent problems (batch fills sublanes x
+    lanes).  Every matrix operation in the recursion becomes a handful of
+    fused elementwise tile ops — no tiny matmuls, no per-problem layout.
+  * **Stages as a sequential grid dimension**: grid = (batch_cells, N); the
+    value function (Vx, Vxx) lives in VMEM scratch carried across the stage
+    iterations while Pallas double-buffers each stage's derivative block from
+    HBM. One kernel launch replaces the whole lax.scan.
+  * **Exact stage box QP by static active-set enumeration**: for nu <= 2 each
+    of the 3^nu patterns has *static* structure (which coordinates are
+    clamped), so every candidate is closed-form tile arithmetic and the
+    feasible-minimum is a chain of selects — branch-free, exactly the
+    enumeration of ``solver/boxqp.py``.
+
+Semantics match ``solver/ilqr.py``'s backward pass (including full-DDP
+second-order terms and the projected-gradient stationarity measure) to f32
+round-off; see tests/test_pallas_riccati.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SUB, _LANE = 8, 128
+_CELL = _SUB * _LANE  # problems per grid cell
+
+_BIG = 1e30
+
+
+def _patterns_static(nu: int):
+    """Static active-set patterns: tuples over {0: free, 1: lower, 2: upper}."""
+    import itertools
+
+    return list(itertools.product((0, 1, 2), repeat=nu))
+
+
+def _make_kernel(nx: int, nu: int, N: int, use_ddp: bool, tol: float):
+    nxx = nx * nx
+    patterns = _patterns_static(nu)
+
+    def kernel(fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu, dlb, dub,
+               gN, HN, reg,
+               kff_o, K_o, dV1_o, dV2_o, gmax_o,
+               Vx_s, Vxx_s, acc_s):
+        s = pl.program_id(1)  # stage counter 0..N-1 (stage t = N-1-s)
+
+        def E(ref, e):
+            return ref[0, 0, e]
+
+        # ---- terminal init on the first stage iteration -------------------
+        @pl.when(s == 0)
+        def _():
+            for i in range(nx):
+                Vx_s[i] = gN[0, i]
+            for e in range(nxx):
+                Vxx_s[e] = HN[0, e]
+            acc_s[0] = jnp.zeros((_SUB, _LANE), jnp.float32)  # dV1
+            acc_s[1] = jnp.zeros((_SUB, _LANE), jnp.float32)  # dV2
+            acc_s[2] = jnp.zeros((_SUB, _LANE), jnp.float32)  # gmax
+
+        Vx = [Vx_s[i] for i in range(nx)]
+        Vxx = [Vxx_s[e] for e in range(nxx)]
+        rg = reg[0, 0]
+
+        # ---- Q expansion --------------------------------------------------
+        # Qx_i = lx_i + sum_j fx[j,i] Vx_j ; Qu_a = lu_a + sum_j fu[j,a] Vx_j
+        Qx = [E(lx, i) + sum(E(fx, j * nx + i) * Vx[j] for j in range(nx))
+              for i in range(nx)]
+        Qu = [E(lu, a) + sum(E(fu, j * nu + a) * Vx[j] for j in range(nx))
+              for a in range(nu)]
+        # VF[j,i] = sum_k Vxx[j,k] fx[k,i]
+        VF = [[sum(Vxx[j * nx + k] * E(fx, k * nx + i) for k in range(nx))
+               for i in range(nx)] for j in range(nx)]
+        # VFu[j,a] = sum_k Vxx[j,k] fu[k,a]
+        VFu = [[sum(Vxx[j * nx + k] * E(fu, k * nu + a) for k in range(nx))
+                for a in range(nu)] for j in range(nx)]
+        Qxx = [[E(lxx, i * nx + j)
+                + sum(E(fx, k * nx + i) * VF[k][j] for k in range(nx))
+                for j in range(nx)] for i in range(nx)]
+        Quu = [[E(luu, a * nu + b)
+                + sum(E(fu, k * nu + a) * VFu[k][b] for k in range(nx))
+                for b in range(nu)] for a in range(nu)]
+        Qux = [[E(lux, a * nx + i)
+                + sum(E(fu, k * nu + a) * VF[k][i] for k in range(nx))
+                for i in range(nx)] for a in range(nu)]
+
+        if use_ddp:
+            for i in range(nx):
+                for j in range(nx):
+                    Qxx[i][j] = Qxx[i][j] + sum(
+                        Vx[m] * E(fxx, (m * nx + i) * nx + j) for m in range(nx))
+            for a in range(nu):
+                for i in range(nx):
+                    Qux[a][i] = Qux[a][i] + sum(
+                        Vx[m] * E(fux, (m * nu + a) * nx + i) for m in range(nx))
+            for a in range(nu):
+                for b in range(nu):
+                    Quu[a][b] = Quu[a][b] + sum(
+                        Vx[m] * E(fuu, (m * nu + a) * nu + b) for m in range(nx))
+
+        for a in range(nu):
+            Quu[a][a] = Quu[a][a] + rg
+
+        lo = [E(dlb, a) for a in range(nu)]
+        hi = [E(dub, a) for a in range(nu)]
+
+        # ---- exact box QP: static active-set enumeration ------------------
+        def qp_candidate(pat):
+            """v, K rows, objective (+BIG when infeasible) for one pattern."""
+            free = [a for a in range(nu) if pat[a] == 0]
+            v = [None] * nu
+            feas = None
+
+            def AND(x, y):
+                return y if x is None else jnp.logical_and(x, y)
+
+            clamp_val = {}
+            for a in range(nu):
+                if pat[a] == 1:
+                    clamp_val[a] = lo[a]
+                elif pat[a] == 2:
+                    clamp_val[a] = hi[a]
+            # clamped coordinates: value = bound (infinite bounds -> infeasible)
+            for a, cv in clamp_val.items():
+                v[a] = cv
+                feas = AND(feas, jnp.isfinite(cv))
+
+            if len(free) == 1:
+                f0 = free[0]
+                rhs = Qu[f0] + sum(Quu[f0][a] * v[a] for a in clamp_val)
+                vf = -rhs / Quu[f0][f0]
+                v[f0] = vf
+            elif len(free) == 2:
+                det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
+                r0 = Qu[0]
+                r1 = Qu[1]
+                v[0] = (-r0 * Quu[1][1] + r1 * Quu[0][1]) / det
+                v[1] = (-r1 * Quu[0][0] + r0 * Quu[1][0]) / det
+            # len(free) == 0: all clamped, nothing to solve
+
+            for a in free:
+                feas = AND(feas, (v[a] >= lo[a] - tol) & (v[a] <= hi[a] + tol))
+            # stationarity for clamped coords
+            grad = [Qu[a] + sum(Quu[a][b] * v[b] for b in range(nu))
+                    for a in range(nu)]
+            for a in range(nu):
+                if pat[a] == 1:
+                    feas = AND(feas, grad[a] >= -tol)
+                elif pat[a] == 2:
+                    feas = AND(feas, grad[a] <= tol)
+            if feas is None:
+                feas = jnp.full((_SUB, _LANE), True)
+
+            obj = sum(0.5 * v[a] * Quu[a][b] * v[b]
+                      for a in range(nu) for b in range(nu)) \
+                + sum(Qu[a] * v[a] for a in range(nu))
+            obj = jnp.where(feas, obj, _BIG)
+
+            # feedback rows: free block solve of Qux, clamped rows zero
+            K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
+                 for _ in range(nu)]
+            if len(free) == 1:
+                f0 = free[0]
+                for i in range(nx):
+                    K[f0][i] = -Qux[f0][i] / Quu[f0][f0]
+            elif len(free) == 2:
+                det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
+                for i in range(nx):
+                    K[0][i] = (-Qux[0][i] * Quu[1][1] + Qux[1][i] * Quu[0][1]) / det
+                    K[1][i] = (-Qux[1][i] * Quu[0][0] + Qux[0][i] * Quu[1][0]) / det
+            return v, K, obj
+
+        best_v, best_K, best_obj = qp_candidate(patterns[0])
+        for pat in patterns[1:]:
+            v, K, obj = qp_candidate(pat)
+            better = obj < best_obj
+            best_v = [jnp.where(better, v[a], best_v[a]) for a in range(nu)]
+            best_K = [[jnp.where(better, K[a][i], best_K[a][i])
+                       for i in range(nx)] for a in range(nu)]
+            best_obj = jnp.where(better, obj, best_obj)
+
+        kff = best_v
+        K = best_K
+
+        # ---- expected-reduction and stationarity accumulators -------------
+        dV1 = sum(kff[a] * Qu[a] for a in range(nu))
+        dV2 = sum(0.5 * kff[a] * Quu[a][b] * kff[b]
+                  for a in range(nu) for b in range(nu))
+        acc_s[0] = acc_s[0] + dV1
+        acc_s[1] = acc_s[1] + dV2
+        pgmax = acc_s[2]
+        for a in range(nu):
+            pg = -jnp.clip(-Qu[a], lo[a], hi[a])
+            pgmax = jnp.maximum(pgmax, jnp.abs(pg))
+        acc_s[2] = pgmax
+
+        # ---- value function update ----------------------------------------
+        # Quk_a = sum_b Quu[a,b] kff_b
+        Quk = [sum(Quu[a][b] * kff[b] for b in range(nu)) for a in range(nu)]
+        Vx_n = [Qx[i]
+                + sum(K[a][i] * (Quk[a] + Qu[a]) for a in range(nu))
+                + sum(Qux[a][i] * kff[a] for a in range(nu))
+                for i in range(nx)]
+        # KQK[i,j] = sum_ab K[a,i] Quu[a,b] K[b,j]
+        Vxx_n = [[Qxx[i][j]
+                  + sum(K[a][i] * Quu[a][b] * K[b][j]
+                        for a in range(nu) for b in range(nu))
+                  + sum(K[a][i] * Qux[a][j] + Qux[a][i] * K[a][j]
+                        for a in range(nu))
+                  for j in range(nx)] for i in range(nx)]
+        for i in range(nx):
+            Vx_s[i] = Vx_n[i]
+            for j in range(nx):
+                Vxx_s[i * nx + j] = 0.5 * (Vxx_n[i][j] + Vxx_n[j][i])
+
+        # ---- outputs -------------------------------------------------------
+        for a in range(nu):
+            kff_o[0, 0, a] = kff[a]
+            for i in range(nx):
+                K_o[0, 0, a * nx + i] = K[a][i]
+
+        @pl.when(s == N - 1)
+        def _():
+            dV1_o[0] = acc_s[0]
+            dV2_o[0] = acc_s[1]
+            gmax_o[0] = acc_s[2]
+
+    return kernel
+
+
+def _to_tiles(x, B, entries):
+    """(B, N, ...) -> (G, N, entries, 8, 128) batch-major tiles."""
+    G = B // _CELL
+    N = x.shape[1]
+    flat = x.reshape(B, N, entries)
+    t = flat.reshape(G, _SUB, _LANE, N, entries)
+    return jnp.transpose(t, (0, 3, 4, 1, 2))
+
+
+def _to_tiles_static(x, B):
+    """(B, ...) per-problem (no stage dim) -> (G, entries, 8, 128)."""
+    G = B // _CELL
+    flat = x.reshape(B, -1)
+    e = flat.shape[-1]
+    t = flat.reshape(G, _SUB, _LANE, e)
+    return jnp.transpose(t, (0, 3, 1, 2))
+
+
+def _from_tiles(x, B, entries):
+    """(G, N, entries, 8, 128) -> (B, N, entries)."""
+    G = B // _CELL
+    N = x.shape[1]
+    t = jnp.transpose(x, (0, 3, 4, 1, 2))
+    return t.reshape(B, N, entries)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "nu", "use_ddp", "tol"))
+def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
+                            reg, *, nx: int, nu: int, use_ddp: bool = True,
+                            tol: float = 1e-8):
+    """Batched box-constrained Riccati backward pass on TPU.
+
+    Args:
+      derivs: dict of (B, N, ...) stage derivatives (fx, fu, lx, lu, lxx,
+        luu, lux [, fxx, fux, fuu]).
+      dlb, dub: (B, N, nu) delta-control bounds (lb - u_nom, ub - u_nom).
+      gN, HN: (B, nx), (B, nx, nx) terminal value gradient/Hessian.
+      reg: (B,) per-problem Levenberg regularization added to Quu.
+      nx, nu: static dims (nu <= 2).
+
+    Returns (kff (B, N, nu), K (B, N, nu, nx), dV1 (B,), dV2 (B,), gmax (B,)).
+
+    B is padded internally to a multiple of 1024.
+    """
+    if nu > 2:
+        raise NotImplementedError("pallas backward supports nu <= 2")
+    B0, N = derivs["fx"].shape[0], derivs["fx"].shape[1]
+    B = ((B0 + _CELL - 1) // _CELL) * _CELL
+    G = B // _CELL
+
+    def pad(x):
+        if x.shape[0] == B:
+            return x
+        pw = [(0, B - B0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pw)
+
+    f32 = lambda x: pad(x.astype(jnp.float32))
+
+    nxx = nx * nx
+    args = [
+        _to_tiles(f32(derivs["fx"]), B, nxx),
+        _to_tiles(f32(derivs["fu"]), B, nx * nu),
+        _to_tiles(f32(derivs["lx"]), B, nx),
+        _to_tiles(f32(derivs["lu"]), B, nu),
+        _to_tiles(f32(derivs["lxx"]), B, nxx),
+        _to_tiles(f32(derivs["luu"]), B, nu * nu),
+        _to_tiles(f32(derivs["lux"]), B, nu * nx),
+    ]
+    if use_ddp:
+        args += [
+            _to_tiles(f32(derivs["fxx"]), B, nx * nxx),
+            _to_tiles(f32(derivs["fux"]), B, nx * nu * nx),
+            _to_tiles(f32(derivs["fuu"]), B, nx * nu * nu),
+        ]
+    else:
+        z = jnp.zeros((G, N, 1, _SUB, _LANE), jnp.float32)
+        args += [z, z, z]
+    args += [
+        _to_tiles(f32(dlb), B, nu),
+        _to_tiles(f32(dub), B, nu),
+        _to_tiles_static(f32(gN), B),
+        _to_tiles_static(f32(HN), B),
+        _to_tiles_static(f32(reg[:, None]), B),
+    ]
+
+    # Block specs: stage-indexed inputs walk the N axis in reverse.
+    def stage_spec(entries):
+        return pl.BlockSpec(
+            (1, 1, entries, _SUB, _LANE),
+            lambda g, s: (g, N - 1 - s, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def static_spec(entries):
+        return pl.BlockSpec(
+            (1, entries, _SUB, _LANE), lambda g, s: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    ddp_e = (nx * nxx, nx * nu * nx, nx * nu * nu) if use_ddp else (1, 1, 1)
+    in_specs = [
+        stage_spec(nxx), stage_spec(nx * nu), stage_spec(nx), stage_spec(nu),
+        stage_spec(nxx), stage_spec(nu * nu), stage_spec(nu * nx),
+        stage_spec(ddp_e[0]), stage_spec(ddp_e[1]), stage_spec(ddp_e[2]),
+        stage_spec(nu), stage_spec(nu),
+        static_spec(nx), static_spec(nxx), static_spec(1),
+    ]
+    out_specs = [
+        stage_spec(nu),            # kff
+        stage_spec(nu * nx),       # K
+        pl.BlockSpec((1, _SUB, _LANE), lambda g, s: (g, 0, 0),
+                     memory_space=pltpu.VMEM),  # dV1
+        pl.BlockSpec((1, _SUB, _LANE), lambda g, s: (g, 0, 0),
+                     memory_space=pltpu.VMEM),  # dV2
+        pl.BlockSpec((1, _SUB, _LANE), lambda g, s: (g, 0, 0),
+                     memory_space=pltpu.VMEM),  # gmax
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, N, nu, _SUB, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((G, N, nu * nx, _SUB, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
+    ]
+
+    kernel = _make_kernel(nx, nu, N, use_ddp, tol)
+    kff_t, K_t, dV1_t, dV2_t, gmax_t = pl.pallas_call(
+        kernel,
+        grid=(G, N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nx, _SUB, _LANE), jnp.float32),    # Vx carry
+            pltpu.VMEM((nxx, _SUB, _LANE), jnp.float32),   # Vxx carry
+            pltpu.VMEM((3, _SUB, _LANE), jnp.float32),     # dV1/dV2/gmax
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(*args)
+
+    kff = _from_tiles(kff_t, B, nu)[:B0]
+    K = _from_tiles(K_t, B, nu * nx)[:B0].reshape(B0, N, nu, nx)
+    dV1 = dV1_t.reshape(B)[:B0]
+    dV2 = dV2_t.reshape(B)[:B0]
+    gmax = gmax_t.reshape(B)[:B0]
+    return kff, K, dV1, dV2, gmax

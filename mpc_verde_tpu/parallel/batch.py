@@ -33,18 +33,23 @@ class BatchStats(struct.PyTreeNode):
     max_iterations: jnp.ndarray
 
 
-def make_sharded_solver(solve: Callable, mesh: Mesh, axis_name: str = BATCH_AXIS):
-    """Wrap a single-problem ``solve(x0, params, us_init)`` into a
-    mesh-sharded batched solve.
+def make_sharded_solver(solve: Callable, mesh: Mesh, axis_name: str = BATCH_AXIS,
+                        batched: bool = False):
+    """Wrap a solver into a mesh-sharded batched solve.
+
+    ``solve`` is a single-problem ``solve(x0, params, us_init)`` (vmapped per
+    chip) or, with ``batched=True``, an already batch-major solver from
+    ``make_batched_ilqr_solver`` (e.g. the Pallas-backward fast path) applied
+    to each chip's shard directly.
 
     Returns ``solve_batch(x0s, params, us_inits) -> (ILQRResult, BatchStats)``
     where the leading batch axis of every argument/result is sharded over
     ``mesh``.  The batch size must be divisible by the mesh size.
 
-    Per-chip work is ``vmap``; cross-chip reductions are ``psum`` — compiled
-    by XLA into ICI collectives on a pod slice.
+    Per-chip work is vmap/kernel; cross-chip reductions are ``psum`` —
+    compiled by XLA into ICI collectives on a pod slice.
     """
-    vsolve = jax.vmap(solve)
+    vsolve = solve if batched else jax.vmap(solve)
 
     def _shard_body(x0s, params, us_inits):
         res = vsolve(x0s, params, us_inits)

@@ -1,2 +1,3 @@
 from .boxqp import solve_boxqp
 from .ilqr import ILQROptions, ILQRResult, make_ilqr_solver
+from .batched import make_batched_ilqr_solver

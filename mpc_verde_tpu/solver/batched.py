@@ -1,0 +1,215 @@
+"""Batch-first box-DDP solver with a Pallas backward pass.
+
+``make_ilqr_solver`` + ``jax.vmap`` is semantically perfect but leaves the
+backward pass as 40 sequential XLA scan steps of tiny ops (~70% of solve
+time).  This module is the batch-major variant: one solver instance owns the
+whole batch, the forward/rollout/linearization stay as fused vmapped XLA, and
+the backward pass runs as the single-launch Pallas kernel
+(``ops/pallas/riccati.py``) with batch filling the VPU lanes.
+
+Restrictions vs the per-problem solver: nu <= 2, no augmented-Lagrangian
+state bounds (fall back to ``make_ilqr_solver`` for those problems — every
+reference family except circular-with-state-box fits the fast path).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ocp.spec import OCP
+from ..ops.linearize import linearize_trajectory
+from .ilqr import ILQROptions, ILQRResult
+from ..ops.pallas.riccati import riccati_backward_pallas
+
+
+def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
+                             backend: str = "pallas"):
+    """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a batch.
+
+    Args have a leading batch axis: x0s (B, nx), params (B, N+1, npar),
+    us_init (B, N, nu).  ``backend`` selects the backward pass: "pallas"
+    (TPU kernel) or "xla" (vmapped scan — used for CPU verification).
+    """
+    if ocp.has_state_bounds:
+        raise NotImplementedError(
+            "batched fast path has no AL state bounds; use make_ilqr_solver")
+    if ocp.nu > 2 and backend == "pallas":
+        raise NotImplementedError("pallas backward supports nu <= 2")
+
+    N, nx, nu = ocp.N, ocp.nx, ocp.nu
+    opt = options
+    F = ocp.dynamics
+    l = ocp.stage_cost
+    lf = ocp.terminal_cost or (lambda x, p: jnp.zeros((), dtype=x.dtype))
+
+    if ocp.control_bounds is None:
+        def cb(x, p, k):
+            return jnp.full((nu,), -jnp.inf), jnp.full((nu,), jnp.inf)
+    else:
+        cb = ocp.control_bounds
+
+    ks = jnp.arange(N)
+
+    def rollout1(x0, us, ps):
+        def step(x, inp):
+            u_raw, p, k = inp
+            lb, ub = cb(x, p, k)
+            u = jnp.clip(u_raw, lb, ub)
+            c = l(x, u, p)
+            return F(x, u, p), (x, u, c)
+
+        xN, (xs, us_c, cs) = jax.lax.scan(step, x0, (us, ps[:N], ks))
+        xs = jnp.concatenate([xs, xN[None]], axis=0)
+        return xs, us_c, jnp.sum(cs) + lf(xN, ps[N])
+
+    def forward1(x0, xs, us, ps, kffs, Ks, alpha):
+        def step(x, inp):
+            x_nom, u_nom, k_ff, K, p, k = inp
+            u = u_nom + alpha * k_ff + K @ (x - x_nom)
+            lb, ub = cb(x, p, k)
+            u = jnp.clip(u, lb, ub)
+            c = l(x, u, p)
+            return F(x, u, p), (x, u, c)
+
+        xN, (xs_n, us_n, cs) = jax.lax.scan(
+            step, x0, (xs[:N], us, kffs, Ks, ps[:N], ks))
+        xs_n = jnp.concatenate([xs_n, xN[None]], axis=0)
+        return xs_n, us_n, jnp.sum(cs) + lf(xN, ps[N])
+
+    def derivs1(xs, us, ps):
+        d = linearize_trajectory(F, l, xs[:N], us, ps[:N],
+                                 second_order=opt.use_ddp)
+        gN = jax.grad(lambda x: lf(x, ps[N]))(xs[N])
+        HN = jax.jacfwd(jax.grad(lambda x: lf(x, ps[N])))(xs[N])
+        lbs, ubs = jax.vmap(cb)(xs[:N], ps[:N], ks)
+        return d, gN, HN, lbs - us, ubs - us
+
+    rollout = jax.vmap(rollout1)
+    forward = jax.vmap(forward1, in_axes=(0, 0, 0, 0, 0, 0, None))
+    derivs = jax.vmap(derivs1)
+    alphas = opt.alpha_decay ** jnp.arange(opt.n_alphas)
+
+    if backend == "pallas":
+        def backward(d, gN, HN, dlb, dub, reg):
+            return riccati_backward_pallas(
+                d, dlb, dub, gN, HN, reg, nx=nx, nu=nu, use_ddp=opt.use_ddp)
+    else:
+        from .boxqp import _eval_pattern, _patterns
+        from ..ops.smallmat import small_solve
+        pats = jnp.asarray(_patterns(nu))
+
+        def backward1(d, gN, HN, dlb, dub, reg):
+            def stage(carry, inp):
+                Vx, Vxx, dV1, dV2, gmax = carry
+                if opt.use_ddp:
+                    fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu, lo, hi = inp
+                else:
+                    fx, fu, lx, lu, lxx, luu, lux, lo, hi = inp
+                Qx = lx + fx.T @ Vx
+                Qu = lu + fu.T @ Vx
+                Qxx = lxx + fx.T @ Vxx @ fx
+                Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=lu.dtype)
+                Qux = lux + fu.T @ Vxx @ fx
+                if opt.use_ddp:
+                    Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, fxx)
+                    Qux = Qux + jnp.einsum("i,ijk->jk", Vx, fux)
+                    Quu = Quu + jnp.einsum("i,ijk->jk", Vx, fuu)
+                vs, ms, objs = jax.vmap(
+                    lambda p: _eval_pattern(p, Quu, Qu, lo, hi, opt.boxqp_tol))(pats)
+                b = jnp.argmin(objs)
+                kff, m = vs[b], ms[b]
+                A = m[:, None] * Quu * m[None, :] + jnp.diag(1.0 - m)
+                K = -small_solve(A, m[:, None] * Qux)
+                dV1 = dV1 + kff @ Qu
+                dV2 = dV2 + 0.5 * kff @ Quu @ kff
+                Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
+                Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+                pg = -jnp.clip(-Qu, lo, hi)
+                gmax = jnp.maximum(gmax, jnp.max(jnp.abs(pg)))
+                return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T), dV1, dV2, gmax), (kff, K)
+
+            vz = jnp.sum(gN) * 0.0
+            init = (gN, HN, vz, vz, vz)
+            if opt.use_ddp:
+                inputs = (d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"],
+                          d["luu"], d["lux"], d["fxx"], d["fux"], d["fuu"],
+                          dlb, dub)
+            else:
+                inputs = (d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"],
+                          d["luu"], d["lux"], dlb, dub)
+            (_, _, dV1, dV2, gmax), (kffs, Ks) = jax.lax.scan(
+                stage, init, inputs, reverse=True)
+            return kffs, Ks, dV1, dV2, gmax
+
+        backward = jax.vmap(backward1)
+
+    def solve(x0s, params=None, us_init=None):
+        dt_f = jnp.result_type(float)
+        x0s = jnp.asarray(x0s, dtype=dt_f)
+        B = x0s.shape[0]
+        if params is None:
+            ps = jnp.zeros((B, N + 1, max(ocp.npar, 1)), dtype=dt_f)
+        else:
+            ps = jnp.asarray(params, dtype=dt_f)
+        if us_init is None:
+            us_init = jnp.zeros((B, N, nu), dtype=dt_f)
+        us_init = jnp.asarray(us_init, dtype=dt_f)
+
+        xs0, us0, cost0 = rollout(x0s, us_init, ps)
+
+        def cond(carry):
+            xs, us, cost, reg, it, done, gnorm, stall = carry
+            return jnp.any(jnp.logical_and(it < opt.max_iters,
+                                           jnp.logical_not(done)))
+
+        def body(carry):
+            xs, us, cost, reg, it, done, gnorm, stall = carry
+            d, gN, HN, dlb, dub = derivs(xs, us, ps)
+            kffs, Ks, dV1, dV2, gmax = backward(d, gN, HN, dlb, dub, reg)
+
+            xs_c, us_c, costs_c = jax.vmap(
+                lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
+            best = jnp.argmin(costs_c, axis=0)                   # (B,)
+            new_cost = costs_c[best, jnp.arange(B)]
+            xs_b = xs_c[best, jnp.arange(B)]
+            us_b = us_c[best, jnp.arange(B)]
+            improved = new_cost < cost - 1e-12
+
+            small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
+            stall_n = jnp.where(improved, 0, stall + 1)
+            new_done = ((gmax < opt.tol_grad)
+                        | (improved & small_step)
+                        | (stall_n >= opt.stall_iters)
+                        | ((~improved) & (reg >= opt.reg_max)))
+
+            keep = done
+            sel = lambda old, new: jnp.where(
+                keep.reshape((B,) + (1,) * (old.ndim - 1)), old, new)
+            imp = improved.reshape((B,) + (1,) * (xs.ndim - 1))
+            xs_n = sel(xs, jnp.where(imp, xs_b, xs))
+            imp_u = improved.reshape((B,) + (1,) * (us.ndim - 1))
+            us_n = sel(us, jnp.where(imp_u, us_b, us))
+            cost_n = sel(cost, jnp.where(improved, new_cost, cost))
+            reg_n = sel(reg, jnp.where(
+                improved,
+                jnp.maximum(reg / opt.reg_down, opt.reg_min),
+                jnp.minimum(reg * opt.reg_up, opt.reg_max)))
+            it_n = jnp.where(keep, it, it + 1)
+            stall_out = jnp.where(keep, stall, stall_n)
+            done_n = done | new_done
+            gnorm_n = jnp.where(keep, gnorm, gmax)
+            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n, stall_out)
+
+        B_ = x0s.shape[0]
+        reg0 = jnp.full((B_,), opt.reg_init, dtype=dt_f)
+        carry0 = (xs0, us0, cost0, reg0,
+                  jnp.zeros((B_,), jnp.int32), jnp.zeros((B_,), bool),
+                  jnp.full((B_,), jnp.inf, dt_f), jnp.zeros((B_,), jnp.int32))
+        xs, us, cost, reg, it, done, gnorm, _ = jax.lax.while_loop(
+            cond, body, carry0)
+
+        return ILQRResult(
+            xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
+            converged=done, max_violation=jnp.zeros((B_,), dt_f))
+
+    return solve
