@@ -1,0 +1,91 @@
+"""Checkpoint/resume for long closed-loop simulations.
+
+The reference has no in-process checkpointing (SURVEY.md §5.4): closed-loop
+results are dumped to xlsx/csv only at the end, and a crash loses the run.
+Here the receding-horizon loop can run in segments with its full resumable
+state — current plant state, warm-start plan, step index, and accumulated
+history — persisted between segments (npz on local disk; the same dict is
+orbax-compatible for cloud storage since it is a flat pytree of arrays).
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .receding import ClosedLoopResult
+
+
+def save_checkpoint(path: str, state: dict) -> str:
+    """Persist a resumable-state dict of arrays (atomic rename)."""
+    p = Path(path)
+    tmp = p.with_suffix(".tmp.npz")
+    np.savez(tmp, **{k: np.asarray(v) for k, v in state.items()})
+    tmp.replace(p)
+    return str(p)
+
+
+def load_checkpoint(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+@dataclasses.dataclass
+class SegmentedRun:
+    """Run a closed loop in checkpointed segments.
+
+    ``make_runner(n_steps)`` must return a jitted receding-horizon runner for
+    a segment of that length (from ``make_receding_horizon``); the same
+    compiled runner is reused for every full segment.
+    """
+
+    make_runner: Callable[[int], Callable]
+    segment_steps: int
+    checkpoint_path: Optional[str] = None
+
+    def run(self, x0, params_seq, plant_params=None, us_init=None,
+            resume: bool = True):
+        n_total = len(params_seq)
+        start = 0
+        hist_xs, hist_us, hist_conv = [], [], []
+        x = jnp.asarray(x0)
+        warm = us_init
+
+        if resume and self.checkpoint_path and Path(self.checkpoint_path).is_file():
+            ck = load_checkpoint(self.checkpoint_path)
+            start = int(ck["step"])
+            x = jnp.asarray(ck["x"])
+            warm = jnp.asarray(ck["warm"])
+            hist_xs = [ck["hist_xs"]]
+            hist_us = [ck["hist_us"]]
+            hist_conv = [ck["hist_conv"]]
+
+        runner = self.make_runner(self.segment_steps)
+        while start < n_total:
+            n = min(self.segment_steps, n_total - start)
+            r = runner if n == self.segment_steps else self.make_runner(n)
+            seg_params = jnp.asarray(params_seq[start:start + n])
+            seg_plant = None if plant_params is None else jnp.asarray(
+                plant_params[start:start + n])
+            res: ClosedLoopResult = r(x, seg_params, seg_plant, warm)
+            hist_xs.append(np.asarray(res.xs[:-1]))
+            hist_us.append(np.asarray(res.us))
+            hist_conv.append(np.asarray(res.converged))
+            x = res.xs[-1]
+            warm = res.final_warm
+            start += n
+            if self.checkpoint_path:
+                save_checkpoint(self.checkpoint_path, {
+                    "step": start, "x": x, "warm": warm,
+                    "hist_xs": np.concatenate(hist_xs),
+                    "hist_us": np.concatenate(hist_us),
+                    "hist_conv": np.concatenate(hist_conv),
+                })
+
+        xs = np.concatenate(hist_xs + [np.asarray(x)[None]])
+        us = np.concatenate(hist_us)
+        conv = np.concatenate(hist_conv)
+        return {"xs": xs, "us": us, "converged": conv}

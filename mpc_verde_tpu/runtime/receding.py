@@ -35,6 +35,7 @@ class ClosedLoopResult(struct.PyTreeNode):
     iterations: jnp.ndarray   # (Nsim,) solver iterations per step
     converged: jnp.ndarray    # (Nsim,) solver convergence flags
     predicted: Optional[jnp.ndarray] = None  # (Nsim, N+1, nx) horizons
+    final_warm: Optional[jnp.ndarray] = None  # (N, nu) next warm start (resume)
 
 
 def shift_warm_start(us):
@@ -95,12 +96,13 @@ def make_receding_horizon(
                    res.xs if record_predictions else jnp.zeros((0,), dtype=dt_f))
             return (x_next, us_next), out
 
-        (xN, _), (xs, us, costs, iters, conv, preds) = jax.lax.scan(
+        (xN, warmN), (xs, us, costs, iters, conv, preds) = jax.lax.scan(
             step, (x0, us_init), (params_seq, plant_params))
         xs = jnp.concatenate([xs, xN[None]], axis=0)
         return ClosedLoopResult(
             xs=xs, us=us, costs=costs, iterations=iters, converged=conv,
             predicted=preds if record_predictions else None,
+            final_warm=warmN,
         )
 
     return run

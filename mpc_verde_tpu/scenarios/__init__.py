@@ -11,3 +11,6 @@ from .lane_change import build_lane_change_lti, run_lane_change_lti
 from .ltv import build_lane_change_ltv, run_lane_change_ltv
 from .dynamic_bicycle import build_dynamic_bicycle, run_dynamic_bicycle
 from .frenet import build_frenet, run_frenet
+from .pendulum import build_pendulum, run_pendulum
+from .curvature import build_curvature_ltv, run_curvature_ltv
+from .compare import compare_diffdrive_methods

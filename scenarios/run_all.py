@@ -40,6 +40,8 @@ def main():
         "ltv": lambda: sc.run_lane_change_ltv(sc.build_lane_change_ltv(n_steps=n)),
         "dynamic": lambda: sc.run_dynamic_bicycle(sc.build_dynamic_bicycle(n_steps=n)),
         "frenet": lambda: sc.run_frenet(sc.build_frenet(n_steps=n)),
+        "pendulum": lambda: sc.run_pendulum(sc.build_pendulum(n_steps=min(n or 1000, 1000))),
+        "curvature": lambda: sc.run_curvature_ltv(sc.build_curvature_ltv(n_steps=n)),
     }
     picks = fams if args.family == "all" else {args.family: fams[args.family]}
 
