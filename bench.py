@@ -44,7 +44,8 @@ def build(N: int, max_iters: int):
         control_bounds=mv.box_bounds(
             jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])),
     )
-    opts = mv.ILQROptions(max_iters=max_iters, tol_grad=1e-4, tol_cost=1e-7)
+    opts = mv.ILQROptions(max_iters=max_iters, tol_grad=1e-4, tol_cost=1e-7,
+                          n_alphas=8, alpha_decay=0.4)
     # batch-major solver with the Pallas Riccati backward kernel on TPU;
     # plain vmapped-XLA path on CPU
     from mpc_verde_tpu.solver.batched import make_batched_ilqr_solver

@@ -17,3 +17,4 @@ from .nmpc import (
     DiscreteSimulator,
     mtimes,
 )
+from . import plots

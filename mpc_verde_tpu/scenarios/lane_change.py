@@ -18,7 +18,10 @@ SPEC = dict(T=0.05, N=5, Ntu=1, Q=(10.0, 1.0, 0.0), R=0.01, R_du=0.0,
             delta_max=0.3491, ar=AR_DEFAULT, br=BR_DEFAULT)
 
 
-def build_lane_change_lti(path=None, n_steps=None, max_iters: int = 30):
+def build_lane_change_lti(path=None, n_steps=None, max_iters: int = 30,
+                          N: int = None, Ntu: int = None):
+    """``N``/``Ntu`` override the v2 defaults (5/1); the v1 variant
+    (``Trajectory_tracking_lateral_error.py:17,61-69``) uses Nt=20, Ntu=3."""
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +33,10 @@ def build_lane_change_lti(path=None, n_steps=None, max_iters: int = 30):
     from mpc_verde_tpu.runtime import make_receding_horizon
 
     s = dict(SPEC)
+    if N is not None:
+        s["N"] = int(N)
+    if Ntu is not None:
+        s["Ntu"] = int(Ntu)
     if path is None:
         path = synthetic_lane_change(n=500, dt=s["T"])
     Nsim = len(path["x"]) if n_steps is None else n_steps

@@ -92,6 +92,21 @@ def build_lane_change_ltv(path=None, n_steps=None, max_iters: int = 30,
             "n_steps": Nsim, "speeds": speeds}
 
 
+def build_leitura(n_steps=None, max_iters: int = 30, csv_name: str = "traj5.csv"):
+    """The ``leitura.py`` configuration: LTV controller on a generic recorded
+    course (``traj5.csv``) with +2pi heading unwrap for loop-the-loop paths
+    (:98-127).  Falls back to the synthetic extended course when the
+    reference data directory is absent."""
+    from mpc_verde_tpu.refgen import load_path_csv, extend_lane_change_course
+
+    try:
+        path = load_path_csv(csv_name)
+    except FileNotFoundError:
+        path = extend_lane_change_course()
+    return build_lane_change_ltv(path=path, n_steps=n_steps,
+                                 max_iters=max_iters, unwrap=True)
+
+
 def run_lane_change_ltv(built=None, **kw):
     import jax.numpy as jnp
 
