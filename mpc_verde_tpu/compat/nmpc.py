@@ -103,13 +103,16 @@ def getCasadiFunc(pyfunc, sizes=None, names=None, funcname: str = "f",
     return SymFunc(lambda x, u: step(x, u, None), names, funcname)
 
 
-def _argnames(func, funcargs_entry, inferargs):
+def _argnames(func, funcargs_entry, inferargs, default=("x", "u", "p", "Du")):
     if funcargs_entry is not None:
         return [str(a) for a in funcargs_entry]
     if isinstance(func, SymFunc):
         return func.argnames
-    if inferargs or True:  # fall back to signature introspection
+    if inferargs:
         return list(inspect.signature(func).parameters)
+    # inferargs=False and no declared names: mpctools' positional convention
+    n = len(inspect.signature(func).parameters)
+    return list(default[:n])
 
 
 def _stage_bound(b, Nt, nu, default):
@@ -214,10 +217,18 @@ class NMPCSolver:
 
     def fixvar(self, name: str, t: int, value) -> None:
         """``fixvar("x", 0, x0)`` pins the initial state (the only use in the
-        reference scripts)."""
+        reference scripts).
+
+        This is the receding-horizon advance signal, so it also rolls the
+        rate-form ``uprev`` forward to the last applied control — keeping
+        ``solve()`` itself idempotent (two solves from the same pinned state
+        return the same trajectory).
+        """
         if name != "x" or t != 0:
             raise NotImplementedError("only fixvar('x', 0, value) is supported")
         self._x0 = np.asarray(value, dtype=float).ravel()[: self._nx].copy()
+        if self._rate_form and self._last_us is not None:
+            self._uprev = np.atleast_1d(self._last_us[0]).astype(float).copy()
 
     def saveguess(self) -> None:
         """Keep the last solution as the next warm start (mpctools shifts via
@@ -255,10 +266,6 @@ class NMPCSolver:
             "obj": float(res.cost),
             "iterations": int(res.iterations),
         }
-        # receding-horizon bookkeeping: next solve's uprev defaults to the
-        # first applied control (mpc.nmpc updates uprev via solve cycles)
-        if self._rate_form:
-            self._uprev = us_abs[0].copy()
         return self.stats
 
 

@@ -46,199 +46,204 @@ def _patterns_static(nu: int):
     return list(itertools.product((0, 1, 2), repeat=nu))
 
 
-def _make_kernel(nx: int, nu: int, N: int, use_ddp: bool, tol: float):
+def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
+    """Kernel processing C stages per grid invocation (stage chunking).
+
+    Per-invocation fixed costs (dispatch, pipeline setup) dominated the
+    one-stage-per-step version; chunking C stages into each grid step cuts
+    the sequential grid length N -> N/C while the per-stage math stays
+    identical unrolled tile arithmetic.
+    """
     nxx = nx * nx
     patterns = _patterns_static(nu)
+    n_chunks = N // C
 
     def kernel(fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu, dlb, dub,
                gN, HN, reg,
                kff_o, K_o, dV1_o, dV2_o, gmax_o,
                Vx_s, Vxx_s, acc_s):
-        s = pl.program_id(1)  # stage counter 0..N-1 (stage t = N-1-s)
+        s = pl.program_id(1)  # chunk counter 0..n_chunks-1 (last stages first)
 
-        def E(ref, e):
-            return ref[0, 0, e]
-
-        # ---- terminal init on the first stage iteration -------------------
+        # ---- terminal init on the first chunk -----------------------------
         @pl.when(s == 0)
         def _():
             for i in range(nx):
                 Vx_s[i] = gN[0, i]
             for e in range(nxx):
                 Vxx_s[e] = HN[0, e]
-            acc_s[0] = jnp.zeros((_SUB, _LANE), jnp.float32)  # dV1
-            acc_s[1] = jnp.zeros((_SUB, _LANE), jnp.float32)  # dV2
-            acc_s[2] = jnp.zeros((_SUB, _LANE), jnp.float32)  # gmax
+            for q in range(3):
+                acc_s[q] = jnp.zeros((_SUB, _LANE), jnp.float32)
 
         Vx = [Vx_s[i] for i in range(nx)]
         Vxx = [Vxx_s[e] for e in range(nxx)]
+        acc = [acc_s[0], acc_s[1], acc_s[2]]
         rg = reg[0, 0]
 
-        # ---- Q expansion --------------------------------------------------
-        # Qx_i = lx_i + sum_j fx[j,i] Vx_j ; Qu_a = lu_a + sum_j fu[j,a] Vx_j
-        Qx = [E(lx, i) + sum(E(fx, j * nx + i) * Vx[j] for j in range(nx))
-              for i in range(nx)]
-        Qu = [E(lu, a) + sum(E(fu, j * nu + a) * Vx[j] for j in range(nx))
-              for a in range(nu)]
-        # VF[j,i] = sum_k Vxx[j,k] fx[k,i]
-        VF = [[sum(Vxx[j * nx + k] * E(fx, k * nx + i) for k in range(nx))
-               for i in range(nx)] for j in range(nx)]
-        # VFu[j,a] = sum_k Vxx[j,k] fu[k,a]
-        VFu = [[sum(Vxx[j * nx + k] * E(fu, k * nu + a) for k in range(nx))
-                for a in range(nu)] for j in range(nx)]
-        Qxx = [[E(lxx, i * nx + j)
-                + sum(E(fx, k * nx + i) * VF[k][j] for k in range(nx))
-                for j in range(nx)] for i in range(nx)]
-        Quu = [[E(luu, a * nu + b)
-                + sum(E(fu, k * nu + a) * VFu[k][b] for k in range(nx))
-                for b in range(nu)] for a in range(nu)]
-        Qux = [[E(lux, a * nx + i)
-                + sum(E(fu, k * nu + a) * VF[k][i] for k in range(nx))
-                for i in range(nx)] for a in range(nu)]
+        for cc in reversed(range(C)):
+            def E(ref, e, _cc=cc):
+                return ref[0, _cc, e]
 
-        if use_ddp:
-            for i in range(nx):
-                for j in range(nx):
-                    Qxx[i][j] = Qxx[i][j] + sum(
-                        Vx[m] * E(fxx, (m * nx + i) * nx + j) for m in range(nx))
-            for a in range(nu):
+            # ---- Q expansion ---------------------------------------------
+            Qx = [E(lx, i) + sum(E(fx, j * nx + i) * Vx[j] for j in range(nx))
+                  for i in range(nx)]
+            Qu = [E(lu, a) + sum(E(fu, j * nu + a) * Vx[j] for j in range(nx))
+                  for a in range(nu)]
+            VF = [[sum(Vxx[j * nx + k] * E(fx, k * nx + i) for k in range(nx))
+                   for i in range(nx)] for j in range(nx)]
+            VFu = [[sum(Vxx[j * nx + k] * E(fu, k * nu + a) for k in range(nx))
+                    for a in range(nu)] for j in range(nx)]
+            Qxx = [[E(lxx, i * nx + j)
+                    + sum(E(fx, k * nx + i) * VF[k][j] for k in range(nx))
+                    for j in range(nx)] for i in range(nx)]
+            Quu = [[E(luu, a * nu + b)
+                    + sum(E(fu, k * nu + a) * VFu[k][b] for k in range(nx))
+                    for b in range(nu)] for a in range(nu)]
+            Qux = [[E(lux, a * nx + i)
+                    + sum(E(fu, k * nu + a) * VF[k][i] for k in range(nx))
+                    for i in range(nx)] for a in range(nu)]
+
+            if use_ddp:
                 for i in range(nx):
-                    Qux[a][i] = Qux[a][i] + sum(
-                        Vx[m] * E(fux, (m * nu + a) * nx + i) for m in range(nx))
+                    for j in range(nx):
+                        Qxx[i][j] = Qxx[i][j] + sum(
+                            Vx[m] * E(fxx, (m * nx + i) * nx + j)
+                            for m in range(nx))
+                for a in range(nu):
+                    for i in range(nx):
+                        Qux[a][i] = Qux[a][i] + sum(
+                            Vx[m] * E(fux, (m * nu + a) * nx + i)
+                            for m in range(nx))
+                for a in range(nu):
+                    for b in range(nu):
+                        Quu[a][b] = Quu[a][b] + sum(
+                            Vx[m] * E(fuu, (m * nu + a) * nu + b)
+                            for m in range(nx))
+
             for a in range(nu):
-                for b in range(nu):
-                    Quu[a][b] = Quu[a][b] + sum(
-                        Vx[m] * E(fuu, (m * nu + a) * nu + b) for m in range(nx))
+                Quu[a][a] = Quu[a][a] + rg
 
-        for a in range(nu):
-            Quu[a][a] = Quu[a][a] + rg
+            lo = [E(dlb, a) for a in range(nu)]
+            hi = [E(dub, a) for a in range(nu)]
 
-        lo = [E(dlb, a) for a in range(nu)]
-        hi = [E(dub, a) for a in range(nu)]
+            # ---- exact box QP: static active-set enumeration --------------
+            def qp_candidate(pat):
+                free = [a for a in range(nu) if pat[a] == 0]
+                v = [None] * nu
+                feas = None
 
-        # ---- exact box QP: static active-set enumeration ------------------
-        def qp_candidate(pat):
-            """v, K rows, objective (+BIG when infeasible) for one pattern."""
-            free = [a for a in range(nu) if pat[a] == 0]
-            v = [None] * nu
-            feas = None
+                def AND(x, y):
+                    return y if x is None else jnp.logical_and(x, y)
 
-            def AND(x, y):
-                return y if x is None else jnp.logical_and(x, y)
+                clamp_val = {}
+                for a in range(nu):
+                    if pat[a] == 1:
+                        clamp_val[a] = lo[a]
+                    elif pat[a] == 2:
+                        clamp_val[a] = hi[a]
+                for a, cv in clamp_val.items():
+                    v[a] = cv
+                    feas = AND(feas, jnp.isfinite(cv))
 
-            clamp_val = {}
+                if len(free) == 1:
+                    f0 = free[0]
+                    rhs = Qu[f0] + sum(Quu[f0][a] * v[a] for a in clamp_val)
+                    v[f0] = -rhs / Quu[f0][f0]
+                elif len(free) == 2:
+                    det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
+                    r0, r1 = Qu[0], Qu[1]
+                    v[0] = (-r0 * Quu[1][1] + r1 * Quu[0][1]) / det
+                    v[1] = (-r1 * Quu[0][0] + r0 * Quu[1][0]) / det
+
+                for a in free:
+                    feas = AND(feas, (v[a] >= lo[a] - tol) & (v[a] <= hi[a] + tol))
+                grad = [Qu[a] + sum(Quu[a][b] * v[b] for b in range(nu))
+                        for a in range(nu)]
+                for a in range(nu):
+                    if pat[a] == 1:
+                        feas = AND(feas, grad[a] >= -tol)
+                    elif pat[a] == 2:
+                        feas = AND(feas, grad[a] <= tol)
+                if feas is None:
+                    feas = jnp.full((_SUB, _LANE), True)
+
+                obj = sum(0.5 * v[a] * Quu[a][b] * v[b]
+                          for a in range(nu) for b in range(nu)) \
+                    + sum(Qu[a] * v[a] for a in range(nu))
+                obj = jnp.where(feas, obj, _BIG)
+
+                K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
+                     for _ in range(nu)]
+                if len(free) == 1:
+                    f0 = free[0]
+                    for i in range(nx):
+                        K[f0][i] = -Qux[f0][i] / Quu[f0][f0]
+                elif len(free) == 2:
+                    det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
+                    for i in range(nx):
+                        K[0][i] = (-Qux[0][i] * Quu[1][1]
+                                   + Qux[1][i] * Quu[0][1]) / det
+                        K[1][i] = (-Qux[1][i] * Quu[0][0]
+                                   + Qux[0][i] * Quu[1][0]) / det
+                return v, K, obj
+
+            best_v, best_K, best_obj = qp_candidate(patterns[0])
+            for pat in patterns[1:]:
+                v, K, obj = qp_candidate(pat)
+                better = obj < best_obj
+                best_v = [jnp.where(better, v[a], best_v[a]) for a in range(nu)]
+                best_K = [[jnp.where(better, K[a][i], best_K[a][i])
+                           for i in range(nx)] for a in range(nu)]
+                best_obj = jnp.where(better, obj, best_obj)
+
+            kff = best_v
+            K = best_K
+
+            # ---- accumulators --------------------------------------------
+            acc[0] = acc[0] + sum(kff[a] * Qu[a] for a in range(nu))
+            acc[1] = acc[1] + sum(0.5 * kff[a] * Quu[a][b] * kff[b]
+                                  for a in range(nu) for b in range(nu))
+            pgmax = acc[2]
             for a in range(nu):
-                if pat[a] == 1:
-                    clamp_val[a] = lo[a]
-                elif pat[a] == 2:
-                    clamp_val[a] = hi[a]
-            # clamped coordinates: value = bound (infinite bounds -> infeasible)
-            for a, cv in clamp_val.items():
-                v[a] = cv
-                feas = AND(feas, jnp.isfinite(cv))
+                pg = -jnp.clip(-Qu[a], lo[a], hi[a])
+                pgmax = jnp.maximum(pgmax, jnp.abs(pg))
+            acc[2] = pgmax
 
-            if len(free) == 1:
-                f0 = free[0]
-                rhs = Qu[f0] + sum(Quu[f0][a] * v[a] for a in clamp_val)
-                vf = -rhs / Quu[f0][f0]
-                v[f0] = vf
-            elif len(free) == 2:
-                det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
-                r0 = Qu[0]
-                r1 = Qu[1]
-                v[0] = (-r0 * Quu[1][1] + r1 * Quu[0][1]) / det
-                v[1] = (-r1 * Quu[0][0] + r0 * Quu[1][0]) / det
-            # len(free) == 0: all clamped, nothing to solve
+            # ---- value function update -----------------------------------
+            Quk = [sum(Quu[a][b] * kff[b] for b in range(nu)) for a in range(nu)]
+            Vx_n = [Qx[i]
+                    + sum(K[a][i] * (Quk[a] + Qu[a]) for a in range(nu))
+                    + sum(Qux[a][i] * kff[a] for a in range(nu))
+                    for i in range(nx)]
+            Vxx_n = [[Qxx[i][j]
+                      + sum(K[a][i] * Quu[a][b] * K[b][j]
+                            for a in range(nu) for b in range(nu))
+                      + sum(K[a][i] * Qux[a][j] + Qux[a][i] * K[a][j]
+                            for a in range(nu))
+                      for j in range(nx)] for i in range(nx)]
+            Vx = Vx_n
+            Vxx = [0.5 * (Vxx_n[e // nx][e % nx] + Vxx_n[e % nx][e // nx])
+                   for e in range(nxx)]
 
-            for a in free:
-                feas = AND(feas, (v[a] >= lo[a] - tol) & (v[a] <= hi[a] + tol))
-            # stationarity for clamped coords
-            grad = [Qu[a] + sum(Quu[a][b] * v[b] for b in range(nu))
-                    for a in range(nu)]
+            # ---- outputs --------------------------------------------------
             for a in range(nu):
-                if pat[a] == 1:
-                    feas = AND(feas, grad[a] >= -tol)
-                elif pat[a] == 2:
-                    feas = AND(feas, grad[a] <= tol)
-            if feas is None:
-                feas = jnp.full((_SUB, _LANE), True)
-
-            obj = sum(0.5 * v[a] * Quu[a][b] * v[b]
-                      for a in range(nu) for b in range(nu)) \
-                + sum(Qu[a] * v[a] for a in range(nu))
-            obj = jnp.where(feas, obj, _BIG)
-
-            # feedback rows: free block solve of Qux, clamped rows zero
-            K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
-                 for _ in range(nu)]
-            if len(free) == 1:
-                f0 = free[0]
+                kff_o[0, cc, a] = kff[a]
                 for i in range(nx):
-                    K[f0][i] = -Qux[f0][i] / Quu[f0][f0]
-            elif len(free) == 2:
-                det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
-                for i in range(nx):
-                    K[0][i] = (-Qux[0][i] * Quu[1][1] + Qux[1][i] * Quu[0][1]) / det
-                    K[1][i] = (-Qux[1][i] * Quu[0][0] + Qux[0][i] * Quu[1][0]) / det
-            return v, K, obj
+                    K_o[0, cc, a * nx + i] = K[a][i]
 
-        best_v, best_K, best_obj = qp_candidate(patterns[0])
-        for pat in patterns[1:]:
-            v, K, obj = qp_candidate(pat)
-            better = obj < best_obj
-            best_v = [jnp.where(better, v[a], best_v[a]) for a in range(nu)]
-            best_K = [[jnp.where(better, K[a][i], best_K[a][i])
-                       for i in range(nx)] for a in range(nu)]
-            best_obj = jnp.where(better, obj, best_obj)
-
-        kff = best_v
-        K = best_K
-
-        # ---- expected-reduction and stationarity accumulators -------------
-        dV1 = sum(kff[a] * Qu[a] for a in range(nu))
-        dV2 = sum(0.5 * kff[a] * Quu[a][b] * kff[b]
-                  for a in range(nu) for b in range(nu))
-        acc_s[0] = acc_s[0] + dV1
-        acc_s[1] = acc_s[1] + dV2
-        pgmax = acc_s[2]
-        for a in range(nu):
-            pg = -jnp.clip(-Qu[a], lo[a], hi[a])
-            pgmax = jnp.maximum(pgmax, jnp.abs(pg))
-        acc_s[2] = pgmax
-
-        # ---- value function update ----------------------------------------
-        # Quk_a = sum_b Quu[a,b] kff_b
-        Quk = [sum(Quu[a][b] * kff[b] for b in range(nu)) for a in range(nu)]
-        Vx_n = [Qx[i]
-                + sum(K[a][i] * (Quk[a] + Qu[a]) for a in range(nu))
-                + sum(Qux[a][i] * kff[a] for a in range(nu))
-                for i in range(nx)]
-        # KQK[i,j] = sum_ab K[a,i] Quu[a,b] K[b,j]
-        Vxx_n = [[Qxx[i][j]
-                  + sum(K[a][i] * Quu[a][b] * K[b][j]
-                        for a in range(nu) for b in range(nu))
-                  + sum(K[a][i] * Qux[a][j] + Qux[a][i] * K[a][j]
-                        for a in range(nu))
-                  for j in range(nx)] for i in range(nx)]
         for i in range(nx):
-            Vx_s[i] = Vx_n[i]
-            for j in range(nx):
-                Vxx_s[i * nx + j] = 0.5 * (Vxx_n[i][j] + Vxx_n[j][i])
+            Vx_s[i] = Vx[i]
+        for e in range(nxx):
+            Vxx_s[e] = Vxx[e]
+        for q in range(3):
+            acc_s[q] = acc[q]
 
-        # ---- outputs -------------------------------------------------------
-        for a in range(nu):
-            kff_o[0, 0, a] = kff[a]
-            for i in range(nx):
-                K_o[0, 0, a * nx + i] = K[a][i]
-
-        @pl.when(s == N - 1)
+        @pl.when(s == n_chunks - 1)
         def _():
-            dV1_o[0] = acc_s[0]
-            dV2_o[0] = acc_s[1]
-            gmax_o[0] = acc_s[2]
+            dV1_o[0] = acc[0]
+            dV2_o[0] = acc[1]
+            gmax_o[0] = acc[2]
 
     return kernel
-
 
 def _to_tiles(x, B, entries):
     """(B, N, ...) -> (G, N, entries, 8, 128) batch-major tiles."""
@@ -325,11 +330,16 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
         _to_tiles_static(f32(reg[:, None]), B),
     ]
 
-    # Block specs: stage-indexed inputs walk the N axis in reverse.
+    # Stage chunking: C stages per grid invocation (largest divisor of N
+    # up to 8 — per-invocation overhead amortizes over C stages).
+    C = max(c for c in range(1, min(8, N) + 1) if N % c == 0)
+    n_chunks = N // C
+
+    # Block specs: chunk-indexed inputs walk the stage axis in reverse.
     def stage_spec(entries):
         return pl.BlockSpec(
-            (1, 1, entries, _SUB, _LANE),
-            lambda g, s: (g, N - 1 - s, 0, 0, 0),
+            (1, C, entries, _SUB, _LANE),
+            lambda g, s: (g, n_chunks - 1 - s, 0, 0, 0),
             memory_space=pltpu.VMEM)
 
     def static_spec(entries):
@@ -363,10 +373,10 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
         jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
     ]
 
-    kernel = _make_kernel(nx, nu, N, use_ddp, tol)
+    kernel = _make_kernel(nx, nu, N, C, use_ddp, tol)
     kff_t, K_t, dV1_t, dV2_t, gmax_t = pl.pallas_call(
         kernel,
-        grid=(G, N),
+        grid=(G, n_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -46,10 +46,14 @@ class SegmentedRun:
     segment_steps: int
     checkpoint_path: Optional[str] = None
 
+    def _seg_path(self, idx: int) -> Path:
+        return Path(f"{self.checkpoint_path}.seg{idx:05d}.npz")
+
     def run(self, x0, params_seq, plant_params=None, us_init=None,
             resume: bool = True):
         n_total = len(params_seq)
         start = 0
+        seg_idx = 0
         hist_xs, hist_us, hist_conv = [], [], []
         x = jnp.asarray(x0)
         warm = us_init
@@ -57,11 +61,14 @@ class SegmentedRun:
         if resume and self.checkpoint_path and Path(self.checkpoint_path).is_file():
             ck = load_checkpoint(self.checkpoint_path)
             start = int(ck["step"])
+            seg_idx = int(ck["segments"])
             x = jnp.asarray(ck["x"])
             warm = jnp.asarray(ck["warm"])
-            hist_xs = [ck["hist_xs"]]
-            hist_us = [ck["hist_us"]]
-            hist_conv = [ck["hist_conv"]]
+            for i in range(seg_idx):
+                seg = load_checkpoint(self._seg_path(i))
+                hist_xs.append(seg["xs"])
+                hist_us.append(seg["us"])
+                hist_conv.append(seg["converged"])
 
         runner = self.make_runner(self.segment_steps)
         while start < n_total:
@@ -71,18 +78,22 @@ class SegmentedRun:
             seg_plant = None if plant_params is None else jnp.asarray(
                 plant_params[start:start + n])
             res: ClosedLoopResult = r(x, seg_params, seg_plant, warm)
-            hist_xs.append(np.asarray(res.xs[:-1]))
-            hist_us.append(np.asarray(res.us))
-            hist_conv.append(np.asarray(res.converged))
+            seg_hist = {"xs": np.asarray(res.xs[:-1]),
+                        "us": np.asarray(res.us),
+                        "converged": np.asarray(res.converged)}
+            hist_xs.append(seg_hist["xs"])
+            hist_us.append(seg_hist["us"])
+            hist_conv.append(seg_hist["converged"])
             x = res.xs[-1]
             warm = res.final_warm
             start += n
             if self.checkpoint_path:
+                # per-segment history files + a small head state: I/O stays
+                # linear in run length instead of re-serializing everything
+                save_checkpoint(str(self._seg_path(seg_idx)), seg_hist)
+                seg_idx += 1
                 save_checkpoint(self.checkpoint_path, {
-                    "step": start, "x": x, "warm": warm,
-                    "hist_xs": np.concatenate(hist_xs),
-                    "hist_us": np.concatenate(hist_us),
-                    "hist_conv": np.concatenate(hist_conv),
+                    "step": start, "segments": seg_idx, "x": x, "warm": warm,
                 })
 
         xs = np.concatenate(hist_xs + [np.asarray(x)[None]])

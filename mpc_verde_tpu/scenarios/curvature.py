@@ -55,7 +55,9 @@ def build_curvature_ltv(path=None, n_steps=None, max_iters: int = 30):
     # from zero exactly as the reference's fallback value 1.0 does
     kappa = np.maximum(kappa, 1e-3)
 
-    refs = np.stack([yr, phi_r, kappa, c], axis=-1)[:Nsim]  # (y, phi, kappa, vdes)
+    # full-path table so the horizon peeks past Nsim (see frenet.py)
+    refs_full = np.stack([yr, phi_r, kappa, c], axis=-1)  # (y, phi, kappa, vdes)
+    refs = refs_full[:Nsim]
 
     speeds = c[:Nsim]
     Acs, Bc = lateral_error_ltv_coeffs(jnp.asarray(speeds), s["ar"], s["br"])
@@ -88,7 +90,7 @@ def build_curvature_ltv(path=None, n_steps=None, max_iters: int = 30):
         du_lb=du_lb, du_ub=du_ub)
     solve = mv.make_ilqr_solver(ocp, mv.ILQROptions(max_iters=max_iters))
 
-    ref_par = stage_param_tensor(refs, N + 1, Nsim)
+    ref_par = stage_param_tensor(refs_full, N + 1, Nsim)
     mats = np.concatenate([np.asarray(Ads).reshape(Nsim, 9),
                            np.asarray(Bds).reshape(Nsim, 3)], axis=1)
     par = np.concatenate([

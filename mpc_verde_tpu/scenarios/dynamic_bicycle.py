@@ -36,9 +36,10 @@ def build_dynamic_bicycle(path=None, n_steps=None, max_iters: int = 30):
     Nsim = len(path["x"]) if n_steps is None else n_steps
     N, T = s["N"], s["T"]
 
-    xr = np.asarray(path["x"], float)[:Nsim]
-    yr = np.asarray(path["y"], float)[:Nsim]
-    vr = np.asarray(path["uref"], float)[:Nsim]
+    xr = np.asarray(path["x"], float)
+    yr = np.asarray(path["y"], float)
+    vr = np.asarray(path["uref"], float)
+    Nfull = len(xr)
 
     # coefficients first (bug fix), vectorized over the run
     A33 = -4 * s["Ca"] / (s["m"] * vr)
@@ -50,18 +51,20 @@ def build_dynamic_bicycle(path=None, n_steps=None, max_iters: int = 30):
     # finite differences inverted through the model (:100-115)
     phi_r = np.arctan2(yr, xr)
     phi_r[0] = 0.0
-    r_r = np.zeros(Nsim)
+    r_r = np.zeros(Nfull)
     r_r[1:-1] = (phi_r[2:] - phi_r[:-2]) / (2 * T)
     r_r[0] = (phi_r[1] - phi_r[0]) / T
     r_r[-1] = (phi_r[-1] - phi_r[-2]) / T
     v_dot = np.gradient(vr, T)
     delta_r = (v_dot - A33 * vr - A34 * r_r) / B31
 
-    refs = np.stack([yr, phi_r, vr, r_r, delta_r], axis=-1)  # (Nsim, 5)
+    # full-path table so the horizon peeks past Nsim (see frenet.py)
+    refs_full = np.stack([yr, phi_r, vr, r_r, delta_r], axis=-1)  # (Nfull, 5)
+    refs = refs_full[:Nsim]
 
     # per-step (Ad, Bd) from the LTV coefficients, one vectorized c2d
-    Acs, Bcs = dynamic_bicycle_coeffs(jnp.asarray(vr), s["m"], s["a"], s["b"],
-                                      s["Ca"], s["Jz"])
+    Acs, Bcs = dynamic_bicycle_coeffs(jnp.asarray(vr[:Nsim]), s["m"], s["a"],
+                                      s["b"], s["Ca"], s["Jz"])
     Acs = jnp.moveaxis(Acs, -1, 0)                      # (Nsim, 4, 4)
     Bcs = jnp.moveaxis(Bcs, -1, 0) if Bcs.ndim == 3 else Bcs
     Bcs = jnp.reshape(Bcs, (Nsim, 4, 1))
@@ -85,7 +88,7 @@ def build_dynamic_bicycle(path=None, n_steps=None, max_iters: int = 30):
         u_lb=jnp.array([-s["delta_max"]]), u_ub=jnp.array([s["delta_max"]]))
     solve = mv.make_ilqr_solver(ocp, mv.ILQROptions(max_iters=max_iters))
 
-    ref_par = stage_param_tensor(refs, N + 1, Nsim)
+    ref_par = stage_param_tensor(refs_full, N + 1, Nsim)
     mats = np.concatenate([np.asarray(Ads).reshape(Nsim, 16),
                            np.asarray(Bds).reshape(Nsim, 4)], axis=1)
     par = np.concatenate([

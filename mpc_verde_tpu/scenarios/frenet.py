@@ -51,7 +51,11 @@ def build_frenet(path=None, n_steps=None, max_iters: int = 40):
     kappa[:2] = 1.0
     kappa[-1] = kappa[-2]
 
-    refs = np.stack([yr, phi_r, kappa, vdes], axis=-1)[:Nsim]
+    # full-path reference table: the horizon window peeks beyond Nsim into
+    # the remaining course (clamping only at the true course end), matching
+    # the lane-change scenarios' semantics
+    refs_full = np.stack([yr, phi_r, kappa, vdes], axis=-1)
+    refs = refs_full[:Nsim]
 
     model = frenet_path_frame(L)
 
@@ -89,7 +93,7 @@ def build_frenet(path=None, n_steps=None, max_iters: int = 40):
         return jnp.concatenate([plant.sim(x, u, pp), u])
 
     run = jax.jit(make_receding_horizon(ocp, solve, plant_step, Nsim))
-    par = stage_param_tensor(refs, N + 1, Nsim)
+    par = stage_param_tensor(refs_full, N + 1, Nsim)
     return {"ocp": ocp, "solve": solve, "run": run, "spec": s, "path": path,
             "params_seq": par, "plant_params": np.asarray(par[:, 0, :]),
             "refs": refs, "n_steps": Nsim}

@@ -92,11 +92,10 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     if backend == "pallas":
         def backward(d, gN, HN, dlb, dub, reg):
             return riccati_backward_pallas(
-                d, dlb, dub, gN, HN, reg, nx=nx, nu=nu, use_ddp=opt.use_ddp)
+                d, dlb, dub, gN, HN, reg, nx=nx, nu=nu, use_ddp=opt.use_ddp,
+                tol=opt.boxqp_tol)
     else:
-        from .boxqp import _eval_pattern, _patterns
-        from ..ops.smallmat import small_solve
-        pats = jnp.asarray(_patterns(nu))
+        from .ilqr import _stage_boxqp_with_gain
 
         def backward1(d, gN, HN, dlb, dub, reg):
             def stage(carry, inp):
@@ -114,12 +113,8 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                     Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, fxx)
                     Qux = Qux + jnp.einsum("i,ijk->jk", Vx, fux)
                     Quu = Quu + jnp.einsum("i,ijk->jk", Vx, fuu)
-                vs, ms, objs = jax.vmap(
-                    lambda p: _eval_pattern(p, Quu, Qu, lo, hi, opt.boxqp_tol))(pats)
-                b = jnp.argmin(objs)
-                kff, m = vs[b], ms[b]
-                A = m[:, None] * Quu * m[None, :] + jnp.diag(1.0 - m)
-                K = -small_solve(A, m[:, None] * Qux)
+                kff, K, free = _stage_boxqp_with_gain(
+                    Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
                 dV1 = dV1 + kff @ Qu
                 dV2 = dV2 + 0.5 * kff @ Quu @ kff
                 Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
@@ -158,12 +153,12 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         xs0, us0, cost0 = rollout(x0s, us_init, ps)
 
         def cond(carry):
-            xs, us, cost, reg, it, done, gnorm, stall = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
             return jnp.any(jnp.logical_and(it < opt.max_iters,
                                            jnp.logical_not(done)))
 
         def body(carry):
-            xs, us, cost, reg, it, done, gnorm, stall = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
             d, gN, HN, dlb, dub = derivs(xs, us, ps)
             kffs, Ks, dV1, dV2, gmax = backward(d, gN, HN, dlb, dub, reg)
 
@@ -177,10 +172,12 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
             small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
             stall_n = jnp.where(improved, 0, stall + 1)
+            new_fail = (((~improved) & (reg >= opt.reg_max))
+                        | ~jnp.isfinite(cost))
             new_done = ((gmax < opt.tol_grad)
                         | (improved & small_step)
                         | (stall_n >= opt.stall_iters)
-                        | ((~improved) & (reg >= opt.reg_max)))
+                        | new_fail)
 
             keep = done
             sel = lambda old, new: jnp.where(
@@ -197,19 +194,23 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             it_n = jnp.where(keep, it, it + 1)
             stall_out = jnp.where(keep, stall, stall_n)
             done_n = done | new_done
+            fail_n = fail | jnp.where(keep, False, new_fail)
             gnorm_n = jnp.where(keep, gnorm, gmax)
-            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n, stall_out)
+            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n,
+                    stall_out, fail_n)
 
         B_ = x0s.shape[0]
         reg0 = jnp.full((B_,), opt.reg_init, dtype=dt_f)
         carry0 = (xs0, us0, cost0, reg0,
                   jnp.zeros((B_,), jnp.int32), jnp.zeros((B_,), bool),
-                  jnp.full((B_,), jnp.inf, dt_f), jnp.zeros((B_,), jnp.int32))
-        xs, us, cost, reg, it, done, gnorm, _ = jax.lax.while_loop(
+                  jnp.full((B_,), jnp.inf, dt_f), jnp.zeros((B_,), jnp.int32),
+                  jnp.zeros((B_,), bool))
+        xs, us, cost, reg, it, done, gnorm, _, fail = jax.lax.while_loop(
             cond, body, carry0)
 
         return ILQRResult(
             xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
-            converged=done, max_violation=jnp.zeros((B_,), dt_f))
+            converged=done & ~fail & jnp.isfinite(cost),
+            max_violation=jnp.zeros((B_,), dt_f))
 
     return solve

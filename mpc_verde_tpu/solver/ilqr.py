@@ -69,9 +69,11 @@ class ILQRResult(struct.PyTreeNode):
     xs: jnp.ndarray          # (N+1, nx) optimal state trajectory
     us: jnp.ndarray          # (N, nu) optimal controls
     cost: jnp.ndarray        # scalar final (unaugmented) cost
-    grad_norm: jnp.ndarray   # max |Qu| over free subspace at solution
+    grad_norm: jnp.ndarray   # projected-gradient norm at the last backward
+                             # pass (one iterate behind the returned xs/us)
     iterations: jnp.ndarray  # inner iterations used (last AL round)
-    converged: jnp.ndarray   # bool
+    converged: jnp.ndarray   # bool: tolerance/stationarity reached with a
+                             # finite cost (False on divergence/NaN/reg-max)
     max_violation: jnp.ndarray  # state-bound violation (0 if no bounds)
 
 
@@ -248,11 +250,11 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         xs0, us0, cost0 = rollout(x0, us_init, ps, lam, mu)
 
         def cond(carry):
-            xs, us, cost, reg, it, done, gnorm, stall = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
             return jnp.logical_and(it < opt.max_iters, jnp.logical_not(done))
 
         def body(carry):
-            xs, us, cost, reg, it, done, gnorm, stall = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
             kffs, Ks, dV1, dV2, gmax = backward(xs, us, ps, lam, mu, reg)
 
             xs_c, us_c, costs_c = jax.vmap(
@@ -264,13 +266,18 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
 
             small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
             stall_n = jnp.where(improved, 0, stall + 1)
+            # Failure: regularization exhausted without progress, or the cost
+            # became non-finite (diverged rollout / NaN dynamics).  Terminates
+            # the loop but is NOT counted as convergence.
+            new_fail = (((~improved) & (reg >= opt.reg_max))
+                        | ~jnp.isfinite(cost))
             new_done = (
                 (gmax < opt.tol_grad)
                 | (improved & small_step)
                 # line search can't improve despite growing regularization:
                 # stationary to working precision (the practical f32 stop)
                 | (stall_n >= opt.stall_iters)
-                | ((~improved) & (reg >= opt.reg_max))
+                | new_fail
             )
 
             # Per-element freeze: under vmap a converged batch member must be
@@ -288,17 +295,22 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             it_n = jnp.where(keep, it, it + 1)
             stall_out = jnp.where(keep, stall, stall_n)
             done_n = done | new_done
+            fail_n = fail | jnp.where(keep, False, new_fail)
             gnorm_n = jnp.where(keep, gnorm, gmax)
-            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n, stall_out)
+            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n,
+                    stall_out, fail_n)
 
         # Varying-zero keeps while_loop carry types consistent under shard_map.
         vz = cost0 * 0.0
         viz = jnp.int32(0) + vz.astype(jnp.int32)
         reg0 = jnp.asarray(opt.reg_init, dtype=cost0.dtype) + vz
         carry0 = (xs0, us0, cost0, reg0, viz,
-                  vz > 1.0, jnp.full((), jnp.inf, cost0.dtype) + vz, viz)
-        xs, us, cost, reg, it, done, gnorm, _ = jax.lax.while_loop(cond, body, carry0)
-        return xs, us, cost, it, gnorm, done
+                  vz > 1.0, jnp.full((), jnp.inf, cost0.dtype) + vz, viz,
+                  vz > 1.0)
+        xs, us, cost, reg, it, done, gnorm, _, fail = jax.lax.while_loop(
+            cond, body, carry0)
+        ok = done & ~fail & jnp.isfinite(cost)
+        return xs, us, cost, it, gnorm, ok
 
     def solve(x0, params=None, us_init=None):
         dt_f = jnp.result_type(float)
@@ -320,7 +332,14 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
 
         if al_iters == 0:
             xs, us, cost, it, gnorm, done = inner_solve(x0, ps, us_init, lam0, mu0)
-            viol = jnp.zeros((), dtype=dt_f)
+            if has_xb:
+                # state bounds with no AL rounds: only the fixed quadratic
+                # penalty applied — report the true violation, don't claim 0
+                cviol = jax.vmap(_xviol)(xs)
+                viol = jnp.max(jnp.maximum(
+                    0.0, jnp.where(jnp.isfinite(cviol), cviol, 0.0)))
+            else:
+                viol = jnp.zeros((), dtype=dt_f)
         else:
             def al_round(carry, _):
                 us_c, lam, mu = carry

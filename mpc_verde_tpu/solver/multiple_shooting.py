@@ -24,9 +24,7 @@ import jax.numpy as jnp
 
 from ..ocp.spec import OCP
 from ..ops.linearize import linearize_trajectory
-from ..ops.smallmat import small_solve
-from .boxqp import _eval_pattern, _patterns
-from .ilqr import ILQROptions, ILQRResult
+from .ilqr import ILQROptions, ILQRResult, _stage_boxqp_with_gain
 
 
 def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
@@ -44,7 +42,6 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
     F = ocp.dynamics
     l = ocp.stage_cost
     lf = ocp.terminal_cost or (lambda x, p: jnp.zeros((), dtype=x.dtype))
-    pats = jnp.asarray(_patterns(nu))
 
     if ocp.control_bounds is None:
         def cb(x, p, k):
@@ -89,12 +86,8 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                 Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx_eff, fxx)
                 Qux = Qux + jnp.einsum("i,ijk->jk", Vx_eff, fux)
                 Quu = Quu + jnp.einsum("i,ijk->jk", Vx_eff, fuu)
-            vs, ms, objs = jax.vmap(
-                lambda p: _eval_pattern(p, Quu, Qu, lo, hi, opt.boxqp_tol))(pats)
-            b = jnp.argmin(objs)
-            kff, m = vs[b], ms[b]
-            A = m[:, None] * Quu * m[None, :] + jnp.diag(1.0 - m)
-            K = -small_solve(A, m[:, None] * Qux)
+            kff, K, free = _stage_boxqp_with_gain(
+                Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
             dV1 = dV1 + kff @ Qu
             dV2 = dV2 + 0.5 * kff @ Quu @ kff
             Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
@@ -121,7 +114,7 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         fraction of each defect (FDDP step)."""
 
         def step(x, inp):
-            x_nom, x_nom_next, u_nom, k_ff, K, p, dk, k = inp
+            x_nom, u_nom, k_ff, K, p, dk, k = inp
             u = u_nom + alpha * k_ff + K @ (x - x_nom)
             lb, ub = cb(x, p, k)
             u = jnp.clip(u, lb, ub)
@@ -130,7 +123,7 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             return x_next, (x, u, c)
 
         xN, (xs_n, us_n, cs) = jax.lax.scan(
-            step, x0, (xs[:N], xs[1:], us, kffs, Ks, ps[:N], d, ks))
+            step, x0, (xs[:N], us, kffs, Ks, ps[:N], d, ks))
         xs_n = jnp.concatenate([xs_n, xN[None]], axis=0)
         return xs_n, us_n, jnp.sum(cs) + lf(xN, ps[N])
 
@@ -158,11 +151,11 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             return c + opt.al_mu0 * g  # L1 defect penalty
 
         def cond(carry):
-            xs, us, cost, gap, reg, it, done, gnorm, stall = carry
+            xs, us, cost, gap, reg, it, done, gnorm, stall, fail = carry
             return jnp.logical_and(it < opt.max_iters, jnp.logical_not(done))
 
         def body(carry):
-            xs, us, cost, gap, reg, it, done, gnorm, stall = carry
+            xs, us, cost, gap, reg, it, done, gnorm, stall, fail = carry
             d = gaps(xs, us, ps)
             kffs, Ks, dV1, dV2, gmax = backward(xs, us, ps, d, reg)
             xs_c, us_c, costs_c = jax.vmap(
@@ -178,11 +171,13 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                 1.0 + jnp.abs(cur_merit))
             stall_n = jnp.where(improved, 0, stall + 1)
             feasible = gap < 1e-5
+            new_fail = (((~improved) & (reg >= opt.reg_max))
+                        | ~jnp.isfinite(cur_merit))
             new_done = (
                 (feasible & (gmax < opt.tol_grad))
                 | (feasible & improved & small_step)
                 | (stall_n >= opt.stall_iters)
-                | ((~improved) & (reg >= opt.reg_max)))
+                | new_fail)
 
             keep = done
             xs_n = jnp.where(keep | ~improved, xs, xs_c[best])
@@ -197,19 +192,21 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             it_n = jnp.where(keep, it, it + 1)
             stall_out = jnp.where(keep, stall, stall_n)
             done_n = done | new_done
+            fail_n = fail | jnp.where(keep, False, new_fail)
             gnorm_n = jnp.where(keep, gnorm, gmax)
             return (xs_n, us_n, cost_n, gap_n, reg_n, it_n, done_n, gnorm_n,
-                    stall_out)
+                    stall_out, fail_n)
 
         vz = cost0 * 0.0
         viz = jnp.int32(0) + vz.astype(jnp.int32)
         carry0 = (xs, us, cost0, gap0,
                   jnp.asarray(opt.reg_init, dt_f) + vz, viz, vz > 1.0,
-                  jnp.full((), jnp.inf, dt_f) + vz, viz)
-        xs, us, cost, gap, reg, it, done, gnorm, _ = jax.lax.while_loop(
+                  jnp.full((), jnp.inf, dt_f) + vz, viz, vz > 1.0)
+        xs, us, cost, gap, reg, it, done, gnorm, _, fail = jax.lax.while_loop(
             cond, body, carry0)
         return ILQRResult(
             xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
-            converged=done & (gap < 1e-4), max_violation=gap)
+            converged=done & ~fail & (gap < 1e-4) & jnp.isfinite(cost),
+            max_violation=gap)
 
     return solve
