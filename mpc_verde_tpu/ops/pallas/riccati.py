@@ -330,9 +330,13 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
         _to_tiles_static(f32(reg[:, None]), B),
     ]
 
-    # Stage chunking: C stages per grid invocation (largest divisor of N
-    # up to 8 — per-invocation overhead amortizes over C stages).
-    C = max(c for c in range(1, min(8, N) + 1) if N % c == 0)
+    # Stage chunking: C stages per grid invocation.  Measured on v5e: C=8
+    # gives no end-to-end speedup over C=1 but doubles Mosaic compile time,
+    # so default to 1 (override via MPC_VERDE_RICCATI_CHUNK for experiments).
+    import os as _os
+
+    C_req = int(_os.environ.get("MPC_VERDE_RICCATI_CHUNK", "1"))
+    C = max(c for c in range(1, min(max(C_req, 1), N) + 1) if N % c == 0)
     n_chunks = N // C
 
     # Block specs: chunk-indexed inputs walk the stage axis in reverse.
