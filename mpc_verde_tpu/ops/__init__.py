@@ -7,3 +7,4 @@ from .integrators import (
     DiscreteSimulator,
 )
 from .linearize import linearize_dynamics, quadratize_cost, linearize_trajectory
+from .parallel_riccati import lqt_backward_parallel, lqt_gains, lqt_solve_parallel

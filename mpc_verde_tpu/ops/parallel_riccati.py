@@ -1,0 +1,142 @@
+"""Parallel-in-horizon Riccati: associative-scan LQT backward pass.
+
+SURVEY.md §2.4/§5.7 names stage-parallel Riccati as the long-horizon analogue
+of sequence parallelism (PAPERS.md: "The Parallelization of Riccati
+Recursion").  The sequential backward pass is O(N) depth; for horizons in the
+thousands that dominates latency.  This module implements the
+temporal-parallelization formulation (Särkkä & García-Fernández-style
+five-tuple elements) so the whole backward pass runs in O(log N) depth under
+``jax.lax.associative_scan``.
+
+Problem class: linear-quadratic tracking (LQT)
+
+    x_{k+1} = F_k x_k + c_k + L_k u_k
+    cost    = sum_k 1/2 (x_k - r_k)' X_k (x_k - r_k) + 1/2 u_k' U_k u_k
+              + 1/2 (x_N - r_N)' X_N (x_N - r_N)
+
+General LQ subproblems (linear control cost, Qux cross terms) reduce to this
+form by completing the square in u; box constraints are not handled here —
+this is the unconstrained long-horizon engine (use the DDP solvers for
+constrained problems at moderate N).
+
+Each element e = (A, b, C, eta, J) represents the conditional value function
+between two times; composition of adjacent spans is the associative rule
+
+    A = A_j (I + C_i J_j)^{-1} A_i
+    b = A_j (I + C_i J_j)^{-1} (b_i + C_i eta_j) + b_j
+    C = A_j (I + C_i J_j)^{-1} C_i A_j' + C_j
+    eta = A_i' (I + J_j C_i)^{-1} (eta_j - J_j b_i) + eta_i
+    J = A_i' (I + J_j C_i)^{-1} J_j A_i + J_i
+
+and a reverse scan yields the value function V_k(x) = 1/2 x'J_k x - eta_k'x
+at every stage simultaneously; gains then come from one batched (parallel
+over k) stage solve.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LQTElement(NamedTuple):
+    A: jnp.ndarray    # (..., nx, nx)
+    b: jnp.ndarray    # (..., nx)
+    C: jnp.ndarray    # (..., nx, nx)
+    eta: jnp.ndarray  # (..., nx)
+    J: jnp.ndarray    # (..., nx, nx)
+
+
+def _combine(ei: LQTElement, ej: LQTElement) -> LQTElement:
+    """Associative composition: element i spans earlier stages than j."""
+    nx = ei.A.shape[-1]
+    I = jnp.eye(nx, dtype=ei.A.dtype)
+    # (I + C_i J_j)^{-1} applied from the left
+    M = I + ei.C @ ej.J
+    Minv = jnp.linalg.solve(M, I)
+    # (I + J_j C_i)^{-1}
+    Mt = I + ej.J @ ei.C
+    Mtinv = jnp.linalg.solve(Mt, I)
+
+    A = ej.A @ Minv @ ei.A
+    b = (ej.A @ Minv @ (ei.b[..., None] + ei.C @ ej.eta[..., None]))[..., 0] + ej.b
+    C = ej.A @ Minv @ ei.C @ jnp.swapaxes(ej.A, -1, -2) + ej.C
+    eta = (jnp.swapaxes(ei.A, -1, -2) @ Mtinv
+           @ (ej.eta[..., None] - ej.J @ ei.b[..., None]))[..., 0] + ei.eta
+    J = (jnp.swapaxes(ei.A, -1, -2) @ Mtinv @ ej.J @ ei.A) + ei.J
+    return LQTElement(A, b, C, eta, J)
+
+
+def lqt_backward_parallel(Fs, cs, Ls, Xs, rs, Us, XN, rN):
+    """O(log N)-depth LQT backward pass.
+
+    Args (stage-stacked, leading dim N):
+      Fs (N, nx, nx), cs (N, nx), Ls (N, nx, nu): dynamics.
+      Xs (N, nx, nx), rs (N, nx): state tracking cost per stage.
+      Us (N, nu, nu): control cost.
+      XN (nx, nx), rN (nx): terminal cost.
+
+    Returns (Js, etas): value function V_k(x) = 1/2 x'J_k x - eta_k'x for
+    k = 0..N (stacked N+1).
+    """
+    N, nx = Fs.shape[0], Fs.shape[-1]
+    Uinv = jnp.linalg.solve(Us, jnp.broadcast_to(jnp.eye(Ls.shape[-1],
+                                                         dtype=Ls.dtype),
+                                                 Us.shape))
+    Cs = Ls @ Uinv @ jnp.swapaxes(Ls, -1, -2)
+    etas = (Xs @ rs[..., None])[..., 0]
+
+    elems = LQTElement(A=Fs, b=cs, C=Cs, eta=etas, J=Xs)
+    # terminal boundary element
+    zerom = jnp.zeros((1, nx, nx), dtype=Fs.dtype)
+    zerov = jnp.zeros((1, nx), dtype=Fs.dtype)
+    term = LQTElement(A=zerom, b=zerov, C=zerom,
+                      eta=(XN @ rN)[None], J=XN[None])
+    elems = jax.tree_util.tree_map(
+        lambda a, t: jnp.concatenate([a, t], axis=0), elems, term)
+
+    # reverse associative scan: result[k] spans stages k..N
+    rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), elems)
+    acc = jax.lax.associative_scan(
+        lambda a, b: _combine(b, a), rev)  # note flipped order
+    out = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), acc)
+    return out.J, out.eta
+
+
+def lqt_gains(Fs, cs, Ls, Us, Js, etas):
+    """Per-stage affine control laws from the scanned value functions.
+
+    u_k*(x) = -K_k x + k_k with
+      S_k = U_k + L' J_{k+1} L
+      K_k = S^{-1} L' J_{k+1} F
+      k_k = S^{-1} L' (eta_{k+1} - J_{k+1} c_k)
+
+    All stages evaluated in parallel (one batched solve).
+    """
+    Jn = Js[1:]
+    en = etas[1:]
+    Lt = jnp.swapaxes(Ls, -1, -2)
+    S = Us + Lt @ Jn @ Ls
+    K = jnp.linalg.solve(S, Lt @ Jn @ Fs)
+    k = jnp.linalg.solve(
+        S, (Lt @ (en[..., None] - Jn @ cs[..., None])))[..., 0]
+    return K, k
+
+
+def lqt_solve_parallel(x0, Fs, cs, Ls, Xs, rs, Us, XN, rN):
+    """Full parallel LQT solve: O(log N) backward + sequential rollout.
+
+    Returns (xs (N+1, nx), us (N, nu)).
+    """
+    Js, etas = lqt_backward_parallel(Fs, cs, Ls, Xs, rs, Us, XN, rN)
+    K, kff = lqt_gains(Fs, cs, Ls, Us, Js, etas)
+
+    def step(x, inp):
+        F, c, L, Kk, kk = inp
+        u = kk - Kk @ x
+        return F @ x + c + L @ u, (x, u)
+
+    xN, (xs, us) = jax.lax.scan(step, x0, (Fs, cs, Ls, K, kff))
+    xs = jnp.concatenate([xs, xN[None]], axis=0)
+    return xs, us

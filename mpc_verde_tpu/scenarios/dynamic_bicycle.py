@@ -19,7 +19,14 @@ SPEC = dict(T=0.05, N=10, Ntu=10, Q=(1.0, 1.0, 1.0, 1.0), R=1.0,
             delta_max=20.0, m=1200.0, a=1.5, b=2.0, Ca=55000.0, Jz=1350.0)
 
 
-def build_dynamic_bicycle(path=None, n_steps=None, max_iters: int = 30):
+def build_dynamic_bicycle(path=None, n_steps=None, max_iters: int = 30,
+                          corrected: bool = False):
+    """``corrected=True`` replaces the reference's reference-synthesis quirks
+    (phi_ref = atan2(y, x) position angle :97-99; forward speed tracked as
+    the lateral-velocity state) with consistent references: path-heading
+    phi_ref, v_lat_ref = 0, r_ref = dphi/dt — the controller then tracks the
+    lane change cleanly, isolating the reference script's synthesis bug from
+    the solver."""
     import jax
     import jax.numpy as jnp
 
@@ -49,17 +56,29 @@ def build_dynamic_bicycle(path=None, n_steps=None, max_iters: int = 30):
     # reference synthesis: y_ref, phi_ref = atan2(y, x) (the reference's
     # literal position-angle form :97-99), v_ref, then r_ref / delta_ref by
     # finite differences inverted through the model (:100-115)
-    phi_r = np.arctan2(yr, xr)
-    phi_r[0] = 0.0
+    if corrected:
+        from mpc_verde_tpu.refgen import path_heading as _heading
+
+        phi_r = _heading(xr, yr)
+    else:
+        phi_r = np.arctan2(yr, xr)
+        phi_r[0] = 0.0
     r_r = np.zeros(Nfull)
     r_r[1:-1] = (phi_r[2:] - phi_r[:-2]) / (2 * T)
     r_r[0] = (phi_r[1] - phi_r[0]) / T
     r_r[-1] = (phi_r[-1] - phi_r[-2]) / T
     v_dot = np.gradient(vr, T)
-    delta_r = (v_dot - A33 * vr - A34 * r_r) / B31
+    if corrected:
+        # lateral velocity reference is 0 (path-frame consistency); steering
+        # reference from the yaw-rate channel steady state
+        vlat_r = np.zeros(Nfull)
+        delta_r = np.zeros(Nfull)
+    else:
+        vlat_r = vr  # the reference tracks forward speed in the v_lat slot
+        delta_r = (v_dot - A33 * vr - A34 * r_r) / B31
 
     # full-path table so the horizon peeks past Nsim (see frenet.py)
-    refs_full = np.stack([yr, phi_r, vr, r_r, delta_r], axis=-1)  # (Nfull, 5)
+    refs_full = np.stack([yr, phi_r, vlat_r, r_r, delta_r], axis=-1)  # (Nfull, 5)
     refs = refs_full[:Nsim]
 
     # per-step (Ad, Bd) from the LTV coefficients, one vectorized c2d

@@ -30,7 +30,7 @@ def rk4_np(rhs, dt, M=1):
 
 def single_shooting_golden(step, stage_cost, term_cost, x0, N, nu,
                            u_lb=None, u_ub=None, u0=None, params=None,
-                           tol=1e-16):
+                           tol=1e-16, maxiter=5000):
     """Solve min over u_{0..N-1} of the rolled-out cost with scipy L-BFGS-B.
 
     ``stage_cost(x, u, k)`` and ``term_cost(x)`` are numpy callables;
@@ -59,6 +59,6 @@ def single_shooting_golden(step, stage_cost, term_cost, x0, N, nu,
 
     z0 = np.zeros(N * nu) if u0 is None else np.asarray(u0).ravel()
     res = so.minimize(full_cost, z0, method="L-BFGS-B", bounds=bounds,
-                      options={"maxiter": 5000, "maxfun": 200000,
+                      options={"maxiter": maxiter, "maxfun": 200000,
                                "ftol": tol, "gtol": 1e-12})
     return res.x.reshape(N, nu), res.fun
