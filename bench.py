@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="pin to host CPU")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--horizon", type=int, default=40)
-    ap.add_argument("--iters", type=int, default=28, help="max iLQR iterations")
+    ap.add_argument("--iters", type=int, default=40, help="max iLQR iterations")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 

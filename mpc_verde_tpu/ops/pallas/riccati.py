@@ -59,7 +59,7 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
     n_chunks = N // C
 
     def kernel(fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu, dlb, dub,
-               gN, HN, reg,
+               gN, HN, reg, ddpf,
                kff_o, K_o, dV1_o, dV2_o, gmax_o,
                Vx_s, Vxx_s, acc_s):
         s = pl.program_id(1)  # chunk counter 0..n_chunks-1 (last stages first)
@@ -78,6 +78,7 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
         Vxx = [Vxx_s[e] for e in range(nxx)]
         acc = [acc_s[0], acc_s[1], acc_s[2]]
         rg = reg[0, 0]
+        ds = ddpf[0, 0]  # per-problem DDP on/off (Gauss-Newton fallback)
 
         for cc in reversed(range(C)):
             def E(ref, e, _cc=cc):
@@ -105,17 +106,17 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
             if use_ddp:
                 for i in range(nx):
                     for j in range(nx):
-                        Qxx[i][j] = Qxx[i][j] + sum(
+                        Qxx[i][j] = Qxx[i][j] + ds * sum(
                             Vx[m] * E(fxx, (m * nx + i) * nx + j)
                             for m in range(nx))
                 for a in range(nu):
                     for i in range(nx):
-                        Qux[a][i] = Qux[a][i] + sum(
+                        Qux[a][i] = Qux[a][i] + ds * sum(
                             Vx[m] * E(fux, (m * nu + a) * nx + i)
                             for m in range(nx))
                 for a in range(nu):
                     for b in range(nu):
-                        Quu[a][b] = Quu[a][b] + sum(
+                        Quu[a][b] = Quu[a][b] + ds * sum(
                             Vx[m] * E(fuu, (m * nu + a) * nu + b)
                             for m in range(nx))
 
@@ -273,8 +274,8 @@ def _from_tiles(x, B, entries):
 
 @functools.partial(jax.jit, static_argnames=("nx", "nu", "use_ddp", "tol"))
 def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
-                            reg, *, nx: int, nu: int, use_ddp: bool = True,
-                            tol: float = 1e-8):
+                            reg, ddp_scale=None, *, nx: int, nu: int,
+                            use_ddp: bool = True, tol: float = 1e-8):
     """Batched box-constrained Riccati backward pass on TPU.
 
     Args:
@@ -322,12 +323,15 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
     else:
         z = jnp.zeros((G, N, 1, _SUB, _LANE), jnp.float32)
         args += [z, z, z]
+    if ddp_scale is None:
+        ddp_scale = jnp.ones((B0,), jnp.float32)
     args += [
         _to_tiles(f32(dlb), B, nu),
         _to_tiles(f32(dub), B, nu),
         _to_tiles_static(f32(gN), B),
         _to_tiles_static(f32(HN), B),
         _to_tiles_static(f32(reg[:, None]), B),
+        _to_tiles_static(f32(ddp_scale[:, None]), B),
     ]
 
     # Stage chunking: C stages per grid invocation.  Measured on v5e: C=8
@@ -357,7 +361,7 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
         stage_spec(nxx), stage_spec(nu * nu), stage_spec(nu * nx),
         stage_spec(ddp_e[0]), stage_spec(ddp_e[1]), stage_spec(ddp_e[2]),
         stage_spec(nu), stage_spec(nu),
-        static_spec(nx), static_spec(nxx), static_spec(1),
+        static_spec(nx), static_spec(nxx), static_spec(1), static_spec(1),
     ]
     out_specs = [
         stage_spec(nu),            # kff

@@ -90,14 +90,14 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     alphas = opt.alpha_decay ** jnp.arange(opt.n_alphas)
 
     if backend == "pallas":
-        def backward(d, gN, HN, dlb, dub, reg):
+        def backward(d, gN, HN, dlb, dub, reg, ddp_scale):
             return riccati_backward_pallas(
-                d, dlb, dub, gN, HN, reg, nx=nx, nu=nu, use_ddp=opt.use_ddp,
-                tol=opt.boxqp_tol)
+                d, dlb, dub, gN, HN, reg, ddp_scale, nx=nx, nu=nu,
+                use_ddp=opt.use_ddp, tol=opt.boxqp_tol)
     else:
         from .ilqr import _stage_boxqp_with_gain
 
-        def backward1(d, gN, HN, dlb, dub, reg):
+        def backward1(d, gN, HN, dlb, dub, reg, ddp_scale):
             def stage(carry, inp):
                 Vx, Vxx, dV1, dV2, gmax = carry
                 if opt.use_ddp:
@@ -110,9 +110,9 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=lu.dtype)
                 Qux = lux + fu.T @ Vxx @ fx
                 if opt.use_ddp:
-                    Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, fxx)
-                    Qux = Qux + jnp.einsum("i,ijk->jk", Vx, fux)
-                    Quu = Quu + jnp.einsum("i,ijk->jk", Vx, fuu)
+                    Qxx = Qxx + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fxx)
+                    Qux = Qux + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fux)
+                    Quu = Quu + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fuu)
                 kff, K, free = _stage_boxqp_with_gain(
                     Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
                 dV1 = dV1 + kff @ Qu
@@ -153,14 +153,15 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         xs0, us0, cost0 = rollout(x0s, us_init, ps)
 
         def cond(carry):
-            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
             return jnp.any(jnp.logical_and(it < opt.max_iters,
                                            jnp.logical_not(done)))
 
         def body(carry):
-            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
             d, gN, HN, dlb, dub = derivs(xs, us, ps)
-            kffs, Ks, dV1, dV2, gmax = backward(d, gN, HN, dlb, dub, reg)
+            kffs, Ks, dV1, dV2, gmax = backward(
+                d, gN, HN, dlb, dub, reg, ddp_on.astype(cost.dtype))
 
             xs_c, us_c, costs_c = jax.vmap(
                 lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
@@ -172,11 +173,17 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
             small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
             stall_n = jnp.where(improved, 0, stall + 1)
-            new_fail = (((~improved) & (reg >= opt.reg_max))
+            stalled = stall_n >= opt.stall_iters
+            # DDP -> Gauss-Newton fallback on stalled line search (see ilqr.py)
+            ddp_off_now = (stalled & ddp_on
+                           & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
+            ddp_on_n = ddp_on & ~ddp_off_now
+            stall_n = jnp.where(ddp_off_now, 0, stall_n)
+            new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
                         | ~jnp.isfinite(cost))
             new_done = ((gmax < opt.tol_grad)
                         | (improved & small_step)
-                        | (stall_n >= opt.stall_iters)
+                        | (stalled & ~ddp_off_now)
                         | new_fail)
 
             keep = done
@@ -196,16 +203,18 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             done_n = done | new_done
             fail_n = fail | jnp.where(keep, False, new_fail)
             gnorm_n = jnp.where(keep, gnorm, gmax)
+            ddp_out = jnp.where(keep, ddp_on, ddp_on_n)
             return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n,
-                    stall_out, fail_n)
+                    stall_out, fail_n, ddp_out)
 
         B_ = x0s.shape[0]
         reg0 = jnp.full((B_,), opt.reg_init, dtype=dt_f)
         carry0 = (xs0, us0, cost0, reg0,
                   jnp.zeros((B_,), jnp.int32), jnp.zeros((B_,), bool),
                   jnp.full((B_,), jnp.inf, dt_f), jnp.zeros((B_,), jnp.int32),
-                  jnp.zeros((B_,), bool))
-        xs, us, cost, reg, it, done, gnorm, _, fail = jax.lax.while_loop(
+                  jnp.zeros((B_,), bool),
+                  jnp.full((B_,), bool(opt.use_ddp)))
+        xs, us, cost, reg, it, done, gnorm, _, fail, _ = jax.lax.while_loop(
             cond, body, carry0)
 
         return ILQRResult(

@@ -58,6 +58,10 @@ class ILQROptions:
     # full DDP (second-order dynamics terms in the backward pass): quadratic
     # local convergence; cheap at the tiny state dims of this model zoo
     use_ddp: bool = True
+    # a stalled DDP line search falls back to Gauss-Newton only when the
+    # projected gradient is still large (> ddp_fallback_factor * tol_grad);
+    # small-gradient stalls are numerical stationarity and terminate
+    ddp_fallback_factor: float = 1e3
     # Augmented Lagrangian (state bounds); al_iters=0 disables.
     al_iters: int = 0
     al_mu0: float = 10.0
@@ -168,7 +172,7 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         cs = jax.vmap(l)(xs[:N], us, ps[:N])
         return jnp.sum(cs) + lf(xs[N], ps[N])
 
-    def backward(xs, us, ps, lam, mu, reg):
+    def backward(xs, us, ps, lam, mu, reg, ddp_scale):
         d = linearize_trajectory(
             lambda x, u, p_l: F(x, u, p_l[0]),
             lambda x, u, p_l: stage_cost_aug(x, u, p_l[0], p_l[1], mu),
@@ -196,10 +200,13 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             Qux = lux + fu.T @ Vxx @ fx
             if opt.use_ddp:
                 # Full DDP: contract the value gradient with the dynamics
-                # Hessians (Tassa-style second-order terms).
-                Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, fxx)
-                Qux = Qux + jnp.einsum("i,ijk->jk", Vx, fux)
-                Quu = Quu + jnp.einsum("i,ijk->jk", Vx, fuu)
+                # Hessians (Tassa-style second-order terms).  ``ddp_scale``
+                # (1.0 or 0.0, traced) lets the iteration loop fall back to
+                # Gauss-Newton when DDP curvature turns indefinite at long
+                # horizons and the line search stalls.
+                Qxx = Qxx + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fxx)
+                Qux = Qux + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fux)
+                Quu = Quu + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fuu)
             k_ff, K, free = _stage_boxqp_with_gain(Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
             dV1 = dV1 + k_ff @ Qu
             dV2 = dV2 + 0.5 * k_ff @ Quu @ k_ff
@@ -250,12 +257,13 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         xs0, us0, cost0 = rollout(x0, us_init, ps, lam, mu)
 
         def cond(carry):
-            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
             return jnp.logical_and(it < opt.max_iters, jnp.logical_not(done))
 
         def body(carry):
-            xs, us, cost, reg, it, done, gnorm, stall, fail = carry
-            kffs, Ks, dV1, dV2, gmax = backward(xs, us, ps, lam, mu, reg)
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
+            kffs, Ks, dV1, dV2, gmax = backward(
+                xs, us, ps, lam, mu, reg, ddp_on.astype(cost.dtype))
 
             xs_c, us_c, costs_c = jax.vmap(
                 lambda a: forward(x0, xs, us, ps, lam, mu, kffs, Ks, a)
@@ -266,17 +274,26 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
 
             small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
             stall_n = jnp.where(improved, 0, stall + 1)
+            stalled = stall_n >= opt.stall_iters
+            # DDP fallback: a stalled line search with second-order terms on
+            # and a still-large gradient means indefinite DDP curvature (long
+            # horizons), not stationarity — drop to Gauss-Newton and keep
+            # iterating.  Small-gradient stalls terminate as converged.
+            ddp_off_now = (stalled & ddp_on
+                           & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
+            ddp_on_n = ddp_on & ~ddp_off_now
+            stall_n = jnp.where(ddp_off_now, 0, stall_n)
             # Failure: regularization exhausted without progress, or the cost
             # became non-finite (diverged rollout / NaN dynamics).  Terminates
             # the loop but is NOT counted as convergence.
-            new_fail = (((~improved) & (reg >= opt.reg_max))
+            new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
                         | ~jnp.isfinite(cost))
             new_done = (
                 (gmax < opt.tol_grad)
                 | (improved & small_step)
                 # line search can't improve despite growing regularization:
                 # stationary to working precision (the practical f32 stop)
-                | (stall_n >= opt.stall_iters)
+                | (stalled & ~ddp_off_now)
                 | new_fail
             )
 
@@ -297,8 +314,9 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             done_n = done | new_done
             fail_n = fail | jnp.where(keep, False, new_fail)
             gnorm_n = jnp.where(keep, gnorm, gmax)
+            ddp_out = jnp.where(keep, ddp_on, ddp_on_n)
             return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n,
-                    stall_out, fail_n)
+                    stall_out, fail_n, ddp_out)
 
         # Varying-zero keeps while_loop carry types consistent under shard_map.
         vz = cost0 * 0.0
@@ -306,8 +324,8 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         reg0 = jnp.asarray(opt.reg_init, dtype=cost0.dtype) + vz
         carry0 = (xs0, us0, cost0, reg0, viz,
                   vz > 1.0, jnp.full((), jnp.inf, cost0.dtype) + vz, viz,
-                  vz > 1.0)
-        xs, us, cost, reg, it, done, gnorm, _, fail = jax.lax.while_loop(
+                  vz > 1.0, (vz < 1.0) if opt.use_ddp else (vz > 1.0))
+        xs, us, cost, reg, it, done, gnorm, _, fail, _ = jax.lax.while_loop(
             cond, body, carry0)
         ok = done & ~fail & jnp.isfinite(cost)
         return xs, us, cost, it, gnorm, ok

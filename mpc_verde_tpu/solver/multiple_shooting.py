@@ -59,7 +59,7 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         nexts = jax.vmap(F)(xs[:N], us, ps[:N])
         return nexts - xs[1:]
 
-    def backward(xs, us, ps, d, reg):
+    def backward(xs, us, ps, d, reg, ddp_scale):
         der = linearize_trajectory(F, l, xs[:N], us, ps[:N],
                                    second_order=opt.use_ddp)
         gN = jax.grad(lambda x: lf(x, ps[N]))(xs[N])
@@ -83,9 +83,9 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=lu.dtype)
             Qux = lux + fu.T @ Vxx @ fx
             if opt.use_ddp:
-                Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx_eff, fxx)
-                Qux = Qux + jnp.einsum("i,ijk->jk", Vx_eff, fux)
-                Quu = Quu + jnp.einsum("i,ijk->jk", Vx_eff, fuu)
+                Qxx = Qxx + ddp_scale * jnp.einsum("i,ijk->jk", Vx_eff, fxx)
+                Qux = Qux + ddp_scale * jnp.einsum("i,ijk->jk", Vx_eff, fux)
+                Quu = Quu + ddp_scale * jnp.einsum("i,ijk->jk", Vx_eff, fuu)
             kff, K, free = _stage_boxqp_with_gain(
                 Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
             dV1 = dV1 + kff @ Qu
@@ -151,13 +151,14 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             return c + opt.al_mu0 * g  # L1 defect penalty
 
         def cond(carry):
-            xs, us, cost, gap, reg, it, done, gnorm, stall, fail = carry
+            xs, us, cost, gap, reg, it, done, gnorm, stall, fail, ddp_on = carry
             return jnp.logical_and(it < opt.max_iters, jnp.logical_not(done))
 
         def body(carry):
-            xs, us, cost, gap, reg, it, done, gnorm, stall, fail = carry
+            xs, us, cost, gap, reg, it, done, gnorm, stall, fail, ddp_on = carry
             d = gaps(xs, us, ps)
-            kffs, Ks, dV1, dV2, gmax = backward(xs, us, ps, d, reg)
+            kffs, Ks, dV1, dV2, gmax = backward(
+                xs, us, ps, d, reg, ddp_on.astype(cost.dtype))
             xs_c, us_c, costs_c = jax.vmap(
                 lambda a: forward(x0, xs, us, ps, d, kffs, Ks, a))(alphas)
             gaps_c = jax.vmap(
@@ -170,13 +171,19 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             small_step = jnp.abs(cur_merit - merits[best]) < opt.tol_cost * (
                 1.0 + jnp.abs(cur_merit))
             stall_n = jnp.where(improved, 0, stall + 1)
+            stalled = stall_n >= opt.stall_iters
+            # DDP -> Gauss-Newton fallback on stalled line search (see ilqr.py)
+            ddp_off_now = (stalled & ddp_on
+                           & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
+            ddp_on_n = ddp_on & ~ddp_off_now
+            stall_n = jnp.where(ddp_off_now, 0, stall_n)
             feasible = gap < 1e-5
-            new_fail = (((~improved) & (reg >= opt.reg_max))
+            new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
                         | ~jnp.isfinite(cur_merit))
             new_done = (
                 (feasible & (gmax < opt.tol_grad))
                 | (feasible & improved & small_step)
-                | (stall_n >= opt.stall_iters)
+                | (stalled & ~ddp_off_now)
                 | new_fail)
 
             keep = done
@@ -194,16 +201,18 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             done_n = done | new_done
             fail_n = fail | jnp.where(keep, False, new_fail)
             gnorm_n = jnp.where(keep, gnorm, gmax)
+            ddp_out = jnp.where(keep, ddp_on, ddp_on_n)
             return (xs_n, us_n, cost_n, gap_n, reg_n, it_n, done_n, gnorm_n,
-                    stall_out, fail_n)
+                    stall_out, fail_n, ddp_out)
 
         vz = cost0 * 0.0
         viz = jnp.int32(0) + vz.astype(jnp.int32)
         carry0 = (xs, us, cost0, gap0,
                   jnp.asarray(opt.reg_init, dt_f) + vz, viz, vz > 1.0,
-                  jnp.full((), jnp.inf, dt_f) + vz, viz, vz > 1.0)
-        xs, us, cost, gap, reg, it, done, gnorm, _, fail = jax.lax.while_loop(
-            cond, body, carry0)
+                  jnp.full((), jnp.inf, dt_f) + vz, viz, vz > 1.0,
+                  (vz < 1.0) if opt.use_ddp else (vz > 1.0))
+        (xs, us, cost, gap, reg, it, done, gnorm, _, fail,
+         _) = jax.lax.while_loop(cond, body, carry0)
         return ILQRResult(
             xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
             converged=done & ~fail & (gap < 1e-4) & jnp.isfinite(cost),
