@@ -196,6 +196,9 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                 jnp.where(improved,
                           jnp.maximum(reg / opt.reg_down, opt.reg_min),
                           jnp.minimum(reg * opt.reg_up, opt.reg_max)))
+            # fresh Gauss-Newton steps start from reg_init (see ilqr.py)
+            reg_n = jnp.where(ddp_off_now & ~keep,
+                              jnp.asarray(opt.reg_init, reg.dtype), reg_n)
             it_n = jnp.where(keep, it, it + 1)
             stall_out = jnp.where(keep, stall, stall_n)
             done_n = done | new_done

@@ -35,7 +35,9 @@ def test_horizon_matches_golden(N):
                  N=N, nx=3, nu=2, npar=3,
                  control_bounds=mv.box_bounds(
                      jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
-    opts = mv.ILQROptions(max_iters=300, tol_grad=1e-9, tol_cost=1e-14)
+    # the Gauss-Newton tail converges linearly; 1e-12 relative-cost tolerance
+    # is where x64 improvements become noise for these problem scales
+    opts = mv.ILQROptions(max_iters=500, tol_grad=1e-8, tol_cost=1e-12)
     res = jax.jit(mv.make_ilqr_solver(ocp, opts))(
         jnp.zeros(3), jnp.broadcast_to(jnp.array(TARGET), (N + 1, 3)))
     assert bool(res.converged), f"N={N} did not converge"
