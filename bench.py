@@ -105,7 +105,7 @@ def main():
     jax.block_until_ready(res.us)
     compile_s = time.time() - t0
 
-    # steady state
+    # steady state (cold starts)
     times = []
     for r in range(args.reps):
         xr = x0s + jnp.float32(0.001 * (r + 1))
@@ -115,6 +115,19 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)
     solves_per_s = B / dt
+
+    # warm-started (receding-horizon regime): previous solution shifted one
+    # stage, slightly moved initial state — the deployment steady state
+    warm_us = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+    wtimes = []
+    res_w = res
+    for r in range(args.reps):
+        xr = x0s + jnp.float32(0.02 * (r + 1))
+        t0 = time.time()
+        res_w = vsolve(xr, params, warm_us)
+        jax.block_until_ready(res_w.us)
+        wtimes.append(time.time() - t0)
+    dtw = min(wtimes)
 
     per_chip_target = 10000.0 / 16.0  # BASELINE.json: >=10k on v5e-16
     out = {
@@ -129,6 +142,9 @@ def main():
         "mean_iterations": round(float(res.iterations.mean()), 2),
         "compile_s": round(compile_s, 1),
         "steady_ms": round(dt * 1e3, 2),
+        "warm_solves_per_s": round(B / dtw, 1),
+        "warm_converged_frac": round(float(res_w.converged.mean()), 4),
+        "warm_mean_iterations": round(float(res_w.iterations.mean()), 2),
     }
     print(json.dumps(out))
 
