@@ -52,12 +52,11 @@ def _combine(ei: LQTElement, ej: LQTElement) -> LQTElement:
     """Associative composition: element i spans earlier stages than j."""
     nx = ei.A.shape[-1]
     I = jnp.eye(nx, dtype=ei.A.dtype)
-    # (I + C_i J_j)^{-1} applied from the left
+    # (I + C_i J_j)^{-1}; with C and J symmetric, (I + J_j C_i)^{-1} is its
+    # transpose — one solve serves both (this runs O(N log N) times)
     M = I + ei.C @ ej.J
     Minv = jnp.linalg.solve(M, I)
-    # (I + J_j C_i)^{-1}
-    Mt = I + ej.J @ ei.C
-    Mtinv = jnp.linalg.solve(Mt, I)
+    Mtinv = jnp.swapaxes(Minv, -1, -2)
 
     A = ej.A @ Minv @ ei.A
     b = (ej.A @ Minv @ (ei.b[..., None] + ei.C @ ej.eta[..., None]))[..., 0] + ej.b

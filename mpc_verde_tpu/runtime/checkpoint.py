@@ -60,15 +60,21 @@ class SegmentedRun:
 
         if resume and self.checkpoint_path and Path(self.checkpoint_path).is_file():
             ck = load_checkpoint(self.checkpoint_path)
-            start = int(ck["step"])
-            seg_idx = int(ck["segments"])
-            x = jnp.asarray(ck["x"])
-            warm = jnp.asarray(ck["warm"])
-            for i in range(seg_idx):
-                seg = load_checkpoint(self._seg_path(i))
-                hist_xs.append(seg["xs"])
-                hist_us.append(seg["us"])
-                hist_conv.append(seg["converged"])
+            # a stale checkpoint from a *different* run (other initial state
+            # or run length) must not be silently resumed
+            same_run = (int(ck.get("n_total", -1)) == n_total
+                        and ck["x0"].shape == np.asarray(x0).shape
+                        and np.allclose(ck["x0"], np.asarray(x0)))
+            if same_run:
+                start = int(ck["step"])
+                seg_idx = int(ck["segments"])
+                x = jnp.asarray(ck["x"])
+                warm = jnp.asarray(ck["warm"])
+                for i in range(seg_idx):
+                    seg = load_checkpoint(self._seg_path(i))
+                    hist_xs.append(seg["xs"])
+                    hist_us.append(seg["us"])
+                    hist_conv.append(seg["converged"])
 
         runner = self.make_runner(self.segment_steps)
         while start < n_total:
@@ -94,6 +100,7 @@ class SegmentedRun:
                 seg_idx += 1
                 save_checkpoint(self.checkpoint_path, {
                     "step": start, "segments": seg_idx, "x": x, "warm": warm,
+                    "n_total": n_total, "x0": np.asarray(x0),
                 })
 
         xs = np.concatenate(hist_xs + [np.asarray(x)[None]])

@@ -146,6 +146,12 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             ps = jnp.zeros((B, N + 1, max(ocp.npar, 1)), dtype=dt_f)
         else:
             ps = jnp.asarray(params, dtype=dt_f)
+            # broadcast conveniences, matching the sibling solvers: (npar,)
+            # shared across stages+batch, or (N+1, npar) shared across batch
+            if ps.ndim == 1:
+                ps = jnp.broadcast_to(ps, (B, N + 1, ps.shape[0]))
+            elif ps.ndim == 2:
+                ps = jnp.broadcast_to(ps[None], (B,) + ps.shape)
         if us_init is None:
             us_init = jnp.zeros((B, N, nu), dtype=dt_f)
         us_init = jnp.asarray(us_init, dtype=dt_f)

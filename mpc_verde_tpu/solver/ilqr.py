@@ -67,6 +67,10 @@ class ILQROptions:
     # projected gradient is still large (> ddp_fallback_factor * tol_grad);
     # small-gradient stalls are numerical stationarity and terminate
     ddp_fallback_factor: float = 1e3
+    # multiple-shooting (FDDP) solver: defect-gap feasibility threshold and
+    # the L-infinity defect-penalty weight of its line-search merit
+    ms_gap_tol: float = 1e-5
+    ms_merit_weight: float = 10.0
     # Augmented Lagrangian (state bounds); al_iters=0 disables.
     al_iters: int = 0
     al_mu0: float = 10.0
@@ -83,7 +87,9 @@ class ILQRResult(struct.PyTreeNode):
     iterations: jnp.ndarray  # inner iterations used (last AL round)
     converged: jnp.ndarray   # bool: tolerance/stationarity reached with a
                              # finite cost (False on divergence/NaN/reg-max)
-    max_violation: jnp.ndarray  # state-bound violation (0 if no bounds)
+    max_violation: jnp.ndarray  # state-bound violation (0 if no bounds);
+                             # the multiple-shooting solver stores its
+                             # dynamics-defect gap here instead
 
 
 def _stage_boxqp_with_gain(Quu, Qu, Qux, lb, ub, tol):

@@ -148,7 +148,9 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         gap0 = jnp.max(jnp.abs(gaps(xs, us, ps)))
 
         def merit(c, g):
-            return c + opt.al_mu0 * g  # L1 defect penalty
+            # L-infinity defect penalty with its own weight option (not the
+            # unrelated AL parameter)
+            return c + opt.ms_merit_weight * g
 
         def cond(carry):
             xs, us, cost, gap, reg, it, done, gnorm, stall, fail, ddp_on = carry
@@ -161,8 +163,9 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                 xs, us, ps, d, reg, ddp_on.astype(cost.dtype))
             xs_c, us_c, costs_c = jax.vmap(
                 lambda a: forward(x0, xs, us, ps, d, kffs, Ks, a))(alphas)
-            gaps_c = jax.vmap(
-                lambda xsn, usn: jnp.max(jnp.abs(gaps(xsn, usn, ps))))(xs_c, us_c)
+            # by construction of the gap-contracting rollout the candidate
+            # defect is exactly (1 - alpha) * d — no dynamics re-evaluation
+            gaps_c = (1.0 - alphas) * jnp.max(jnp.abs(d))
             merits = merit(costs_c, gaps_c)
             best = jnp.argmin(merits)
             cur_merit = merit(cost, gap)
@@ -177,7 +180,7 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                            & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
             ddp_on_n = ddp_on & ~ddp_off_now
             stall_n = jnp.where(ddp_off_now, 0, stall_n)
-            feasible = gap < 1e-5
+            feasible = gap < opt.ms_gap_tol
             new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
                         | ~jnp.isfinite(cur_merit))
             new_done = (
@@ -216,9 +219,12 @@ def make_ms_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                   (vz < 1.0) if opt.use_ddp else (vz > 1.0))
         (xs, us, cost, gap, reg, it, done, gnorm, _, fail,
          _) = jax.lax.while_loop(cond, body, carry0)
+        # max_violation carries the dynamics-defect gap here (this solver
+        # rejects state-bounded OCPs, so the field is otherwise unused)
         return ILQRResult(
             xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
-            converged=done & ~fail & (gap < 1e-4) & jnp.isfinite(cost),
+            converged=done & ~fail & (gap < 10 * opt.ms_gap_tol)
+            & jnp.isfinite(cost),
             max_violation=gap)
 
     return solve
