@@ -34,6 +34,47 @@ def test_lti_family():
 
 
 @pytest.mark.slow
+def test_lti_v1_family():
+    # Trajectory_tracking_lateral_error.py variant: Nt=20, control horizon
+    # Ntu=3 via Du move blocking (:61-69)
+    import jax.numpy as jnp
+
+    built = sc.build_lane_change_lti(N=20, Ntu=3, n_steps=300)
+    m = sc.run_lane_change_lti(built)
+    assert m["converged_frac"] == 1.0
+    assert m["mean_y"] < 1e-3
+    assert m["mean_delta"] < 1e-3
+
+    # move blocking holds in the open-loop plan: du pinned to 0 after Ntu
+    par = jnp.asarray(built["params_seq"][150])
+    res = built["solve"](jnp.zeros(4), par,
+                         jnp.zeros((built["ocp"].N, built["ocp"].nu)))
+    dus = np.array(res.us)
+    assert np.abs(dus[3:]).max() == 0.0
+    assert np.abs(dus[:3]).max() > 0.0  # the free head actually moves
+
+
+@pytest.mark.slow
+def test_leitura_family():
+    # leitura.py: LTV controller on a generic recorded course (traj5.csv,
+    # synthetic extended-course fallback) with +2pi heading unwrap (:98-127)
+    m = sc.run_lane_change_ltv(sc.build_leitura(n_steps=250))
+    assert m["converged_frac"] == 1.0
+    assert m["mse"] < 2e-2
+    assert m["mean_path_dist"] < 0.1
+
+
+@pytest.mark.slow
+def test_curvature_family():
+    # test.py: curvature-based stage cost; the reference prioritizes speed
+    # and curvature matching over lateral error, so the y bound is loose
+    m = sc.run_curvature_ltv(sc.build_curvature_ltv(n_steps=300))
+    assert m["converged_frac"] == 1.0
+    assert m["mse_y"] < 1.0
+    assert m["mse_phi"] < 0.2
+
+
+@pytest.mark.slow
 def test_ltv_family():
     m = sc.run_lane_change_ltv(sc.build_lane_change_ltv(n_steps=250))
     assert m["converged_frac"] == 1.0
@@ -48,6 +89,17 @@ def test_dynamic_family_runs_stably():
     m = sc.run_dynamic_bicycle(sc.build_dynamic_bicycle(n_steps=200))
     assert m["converged_frac"] == 1.0
     assert np.isfinite(m["mse_y"])
+
+
+@pytest.mark.slow
+def test_dynamic_family_corrected_tracks():
+    # with consistent reference synthesis (corrected=True) the same solver
+    # and reference constants track the lane change
+    m = sc.run_dynamic_bicycle(sc.build_dynamic_bicycle(n_steps=300,
+                                                        corrected=True))
+    assert m["converged_frac"] == 1.0
+    assert m["mse_y"] < 1.0
+    assert m["max_err_y"] < 2.5
 
 
 @pytest.mark.slow
