@@ -24,6 +24,36 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.slow
+def test_ltv_closed_loop_matches_recorded_ipopt_run():
+    """``dados.csv`` is the LTV controller's recorded closed loop
+    (``Trjectory_tracking_le_LTV.py`` on ``lane_change.csv``; columns
+    x1,x2,x3,u,x,y).  Our LTV scenario — which replaces the reference's
+    per-step solver rebuild with one compiled solver taking (Ad_t, Bd_t) as
+    data — reproduces the IPOPT run to ~3e-7 in states over all 500 steps."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from mpc_verde_tpu.refgen import load_path_csv
+    from mpc_verde_tpu.scenarios.ltv import build_lane_change_ltv
+
+    d = pd.read_csv(DATA / "dados.csv")
+    path = load_path_csv("lane_change.csv")
+    built = build_lane_change_ltv(path=path)
+    res = built["run"](jnp.zeros(4), jnp.asarray(built["params_seq"]),
+                       jnp.asarray(built["plant_params"]))
+    zs = np.array(res.xs)
+    xs = zs[:, :3]
+    us = zs[:-1, 3] + np.array(res.us)[:, 0]
+
+    n = len(d)
+    assert np.abs(us[:n] - d["u"].to_numpy()).max() < 1e-4
+    for col, name in [(0, "x1"), (1, "x2"), (2, "x3")]:
+        dmax = np.abs(xs[1: n + 1, col] - d[name].to_numpy()).max()
+        assert dmax < 1e-4, (name, dmax)
+    assert bool(np.array(res.converged).all())
+
+
+@pytest.mark.slow
 def test_lane_change_closed_loop_matches_recorded_ipopt_run():
     import jax.numpy as jnp
     import pandas as pd
