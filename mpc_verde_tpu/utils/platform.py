@@ -15,9 +15,12 @@ def force_cpu(n_virtual_devices: int | None = None) -> None:
 
     Works even if another backend (the axon TPU plugin) was already
     initialized in this process: backends are cleared first, then the platform
-    and CPU device count are re-configured.  ``jax_num_cpu_devices`` is used
-    instead of ``XLA_FLAGS=--xla_force_host_platform_device_count`` because
-    XLA parses that flag once per process — too late if any backend ran first.
+    and CPU device count are re-configured.  The device count is requested
+    both ways — ``XLA_FLAGS=--xla_force_host_platform_device_count`` (only
+    effective if no backend has run yet, since XLA parses the flag once per
+    process) and ``jax_num_cpu_devices`` (effective after ``clear_backends``)
+    — and verified at the end, so a silent failure of either path raises
+    instead of surfacing later as a confusing too-few-devices mesh error.
     """
     os.environ["JAX_PLATFORMS"] = "cpu"
     if n_virtual_devices is not None:
@@ -32,14 +35,27 @@ def force_cpu(n_virtual_devices: int | None = None) -> None:
         import jax.extend.backend as _jeb
 
         _jeb.clear_backends()
+        cleared = True
     except Exception:
-        pass
+        cleared = False  # jax API moved; only fatal if the count check fails
     jax.config.update("jax_platforms", "cpu")
     if n_virtual_devices is not None:
         try:
             jax.config.update("jax_num_cpu_devices", n_virtual_devices)
         except Exception:
-            pass  # already pinned via XLA_FLAGS before any backend init
+            # raises if a backend is (still) initialized; XLA_FLAGS may have
+            # pinned the count at process start anyway — verified below
+            pass
+        n = jax.device_count()
+        if n < n_virtual_devices:
+            raise RuntimeError(
+                f"force_cpu: requested {n_virtual_devices} virtual CPU devices "
+                f"but only {n} are visible (backends "
+                f"{'were' if cleared else 'could NOT be'} cleared). Start the "
+                "process with JAX_PLATFORMS=cpu XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_virtual_devices}, "
+                "or call force_cpu before any jax computation."
+            )
 
 
 def force_tpu() -> None:

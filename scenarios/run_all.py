@@ -37,18 +37,19 @@ def main():
     from mpc_verde_tpu import scenarios as sc
 
     n = 120 if args.quick else None
-    # lane-change families: the synthetic maneuver spans samples 125-375, so
-    # the quick window must reach past it or the error metrics are vacuously 0
-    nlc = 300 if args.quick else None
+    # lane-change families: the synthetic maneuver spans samples 125-375 of
+    # the 500-sample course, so the quick window must cover it or the error
+    # metrics only measure the straight lead-in
+    nlc = 400 if args.quick else None
     fams = {
         "diffdrive": lambda: sc.run_diffdrive(sc.build_diffdrive(n_steps=min(n or 100, 100))),
         "circular": lambda: sc.run_circular_tracking(sc.build_circular_tracking(n_steps=n)),
         "lti": lambda: sc.run_lane_change_lti(sc.build_lane_change_lti(n_steps=nlc)),
         "ltv": lambda: sc.run_lane_change_ltv(sc.build_lane_change_ltv(n_steps=nlc)),
         "dynamic": lambda: sc.run_dynamic_bicycle(sc.build_dynamic_bicycle(n_steps=nlc)),
-        "frenet": lambda: sc.run_frenet(sc.build_frenet(n_steps=n)),
+        "frenet": lambda: sc.run_frenet(sc.build_frenet(n_steps=nlc)),
         "pendulum": lambda: sc.run_pendulum(sc.build_pendulum(n_steps=min(n or 1000, 1000))),
-        "curvature": lambda: sc.run_curvature_ltv(sc.build_curvature_ltv(n_steps=n)),
+        "curvature": lambda: sc.run_curvature_ltv(sc.build_curvature_ltv(n_steps=nlc)),
     }
     picks = fams if args.family == "all" else {args.family: fams[args.family]}
 

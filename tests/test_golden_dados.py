@@ -24,6 +24,8 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not (DATA / "dados.csv").is_file(),
+                    reason="dados.csv not available")
 def test_ltv_closed_loop_matches_recorded_ipopt_run():
     """``dados.csv`` is the LTV controller's recorded closed loop
     (``Trjectory_tracking_le_LTV.py`` on ``lane_change.csv``; columns
