@@ -215,6 +215,22 @@ class NMPCSolver:
 
     # -- mpctools surface --------------------------------------------------
 
+    @property
+    def varsym(self):
+        """Abstract decision-variable descriptors, keyed like mpctools'
+        CasADi symbol struct (``Trajectory_tracking_lateral_error.py:76-77``).
+        JAX has no persistent symbols — tracing replaces them — so the
+        equivalent handle is per-variable ``jax.ShapeDtypeStruct`` lists."""
+        dt = jnp.result_type(float)
+        N = self._ocp.N
+        out = {
+            "x": [jax.ShapeDtypeStruct((self._nx,), dt) for _ in range(N + 1)],
+            "u": [jax.ShapeDtypeStruct((self._nu,), dt) for _ in range(N)],
+        }
+        if self._rate_form:
+            out["Du"] = [jax.ShapeDtypeStruct((self._nu,), dt) for _ in range(N)]
+        return out
+
     def fixvar(self, name: str, t: int, value) -> None:
         """``fixvar("x", 0, x0)`` pins the initial state (the only use in the
         reference scripts).

@@ -124,3 +124,26 @@ def test_var_and_par_views():
     solver.fixvar("x", 0, solver.var["x", 1])
     solver.solve()
     assert solver.stats["status"] == "Solve_Succeeded"
+
+
+def test_varsym_descriptors():
+    # varsym mirrors mpctools' symbol struct keys and shapes
+    # (Trajectory_tracking_lateral_error.py:76-77)
+    import mpc_verde_tpu.compat as mpc
+
+    def ode(x, u):
+        return np.array([u[0], x[0]])
+
+    F = mpc.getCasadiFunc(ode, [2, 1], ["x", "u"], "F", rk4=True, Delta=0.1)
+
+    def lfunc(x, u):
+        return float(np.sum(x**2) + np.sum(u**2))
+
+    l = mpc.getCasadiFunc(lfunc, [2, 1], ["x", "u"], "l")
+    solver = mpc.nmpc(f=F, l=l, N={"x": 2, "u": 1, "t": 5}, x0=np.zeros(2),
+                      lb={"u": np.array([-1.0])}, ub={"u": np.array([1.0])},
+                      uprev=np.array([0.0]))
+    vs = solver.varsym
+    assert len(vs["x"]) == 6 and vs["x"][0].shape == (2,)
+    assert len(vs["u"]) == 5 and vs["u"][0].shape == (1,)
+    assert "Du" in vs and vs["Du"][0].shape == (1,)
