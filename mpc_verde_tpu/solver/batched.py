@@ -160,8 +160,13 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
         def cond(carry):
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
-            return jnp.any(jnp.logical_and(it < opt.max_iters,
-                                           jnp.logical_not(done)))
+            running = jnp.any(jnp.logical_and(it < opt.max_iters,
+                                              jnp.logical_not(done)))
+            if opt.quorum >= 1.0:
+                return running
+            # quorum exit: the batch stops once `quorum` of it is done; the
+            # running stragglers surface as converged=False in the result
+            return jnp.logical_and(running, done.mean() < opt.quorum)
 
         def body(carry):
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry

@@ -71,6 +71,13 @@ class ILQROptions:
     # the L-infinity defect-penalty weight of its line-search merit
     ms_gap_tol: float = 1e-5
     ms_merit_weight: float = 10.0
+    # batch quorum (batched solver only): stop iterating once this fraction
+    # of the batch is done, marking the stragglers unconverged.  1.0 (default)
+    # waits for every member; serving deployments that prefer bounded latency
+    # over the last <1% of convergences can set e.g. 0.995.  Wall time of a
+    # batched while_loop is set by its slowest member, so this directly caps
+    # the straggler tail.
+    quorum: float = 1.0
     # Augmented Lagrangian (state bounds); al_iters=0 disables.
     al_iters: int = 0
     al_mu0: float = 10.0

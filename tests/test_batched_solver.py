@@ -45,3 +45,36 @@ def test_batched_xla_matches_vmap():
     assert bool(rb.converged.all()) and bool(rv.converged.all())
     assert np.allclose(np.array(rb.cost), np.array(rv.cost), rtol=1e-4)
     assert np.abs(np.array(rb.us) - np.array(rv.us)).max() < 5e-3
+
+
+def test_quorum_exit_caps_straggler_tail():
+    # half the batch starts at the target (converges in ~1 iteration), half
+    # starts far away (many iterations); quorum=0.5 must stop as soon as the
+    # easy half is done and flag the stragglers unconverged
+    ocp = _ocp()
+    B = 8
+    target = jnp.array([5.0, 5.0, 0.0], jnp.float32)
+    x0s = jnp.concatenate([
+        jnp.broadcast_to(target, (B // 2, 3)),
+        jnp.broadcast_to(jnp.array([-8.0, 7.0, 2.0], jnp.float32), (B // 2, 3)),
+    ])
+    params = jnp.broadcast_to(target, (B, N + 1, 3))
+    us0 = jnp.zeros((B, N, 2), jnp.float32)
+
+    r_full = jax.jit(make_batched_ilqr_solver(
+        ocp, mv.ILQROptions(max_iters=60), backend="xla"))(x0s, params, us0)
+    r_q = jax.jit(make_batched_ilqr_solver(
+        ocp, mv.ILQROptions(max_iters=60, quorum=0.5), backend="xla"))(
+        x0s, params, us0)
+
+    its_full = np.array(r_full.iterations)
+    its_q = np.array(r_q.iterations)
+    assert bool(r_full.converged.all())
+    # quorum run: the easy half converged, the hard half was cut off early
+    conv_q = np.array(r_q.converged)
+    assert conv_q[: B // 2].all()
+    assert float(conv_q.mean()) >= 0.5
+    assert its_q.max() < its_full.max()
+    # converged members' solutions are identical between the two runs
+    assert np.abs(np.array(r_q.us[: B // 2]) -
+                  np.array(r_full.us[: B // 2])).max() < 1e-6
