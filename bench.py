@@ -56,7 +56,9 @@ def build(N: int, max_iters: int):
     # plain vmapped-XLA path on CPU
     from mpc_verde_tpu.solver.batched import make_batched_ilqr_solver
 
-    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # "pallas_bw": Riccati backward kernel + XLA line search (validated);
+    # "pallas" additionally fuses the line-search forward kernel
+    backend = "pallas_bw" if jax.default_backend() == "tpu" else "xla"
     solve = make_batched_ilqr_solver(ocp, opts, backend=backend)
     return ocp, jax.jit(solve)
 

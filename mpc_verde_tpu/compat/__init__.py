@@ -18,3 +18,7 @@ from .nmpc import (
     mtimes,
 )
 from . import plots
+
+# CasADi-compatible symbolic layer (SX/DM/Function/nlpsol):
+#   import mpc_verde_tpu.compat.casadi as ca
+from . import casadi

@@ -1,0 +1,381 @@
+"""Pallas TPU kernel: fused line-search forward rollouts.
+
+After the Pallas Riccati backward pass (``riccati.py``) the solver's remaining
+sequential hot spot is the line search: rolling the closed-loop dynamics
+``u = u_nom + alpha*k_ff + K(x - x_nom)`` for every step length alpha.  As
+vmapped XLA that is a ``lax.scan`` of N tiny fused steps — ~1 ms/iteration at
+B=4096, N=40 (85% of measured per-iteration phase time), dominated by
+per-step loop overhead rather than arithmetic.
+
+This kernel fuses the whole line search into ONE launch per solver iteration:
+
+  * **Batch-major tiles**: like the Riccati kernel, each (8, 128) VPU tile
+    holds one vector/matrix entry for 1024 independent problems; the batch is
+    the vector axis (``_to_tiles`` layout shared with ``riccati.py``).
+  * **All alphas vectorized**: the candidate state carries an extra leading
+    alpha axis (A, nx, 8, 128); every rollout step advances all A candidates
+    of all 1024 problems in a handful of tile ops.
+  * **Stages as an in-kernel ``fori_loop``** over VMEM-resident stage data —
+    no per-step kernel dispatch, no HBM round trips.
+  * **In-kernel selection + materialization**: after the cost pass, the
+    per-problem best alpha (first minimum, matching ``jnp.argmin``) is
+    selected branch-free and a second single-alpha pass re-rolls the winning
+    trajectory and writes it out.  The XLA equivalent materializes all A
+    trajectories and gathers — 8x the HBM traffic.
+
+The user's dynamics/cost/bounds callables (plain jax functions of single
+vectors, e.g. the RK4-discretized unicycle of ``Casadi/single_shooting_v1.py``)
+are inlined into the kernel by ``jax.vmap`` over the tile axes — the TPU-native
+analogue of CasADi binding a model into IPOPT's evaluation VM.  Array
+constants the callables close over (cost weight matrices, bound vectors) are
+hoisted by ``jax.closure_convert`` and streamed in as broadcast tiles, since
+Pallas kernels cannot capture array constants.
+
+Semantics match ``solver/batched.py``'s XLA forward path (clip-after-feedback,
+cost quadrature summed over stages plus terminal cost); see
+``tests/test_pallas_rollout.py``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .riccati import _CELL, _LANE, _SUB, _from_tiles, _to_tiles, _to_tiles_static
+
+
+def _tile2(fn, n_args: int, shared: Tuple[int, ...] = ()):
+    """vmap ``fn`` over the (8, 128) tile axes of its array arguments.
+
+    ``shared`` lists positional args broadcast across the tile (e.g. the
+    stage index k).
+    """
+    ax = tuple(None if i in shared else -1 for i in range(n_args))
+    return jax.vmap(jax.vmap(fn, in_axes=ax, out_axes=-1), in_axes=ax,
+                    out_axes=-1)
+
+
+def _f32_out(fn):
+    """Pin a callable's outputs to f32 (model constants may be f64 under
+    x64 configs; the kernel is f32 throughout)."""
+    def g(*a):
+        return jax.tree_util.tree_map(
+            lambda t: jnp.asarray(t, jnp.float32), fn(*a))
+    return g
+
+
+# NOTE: hoisted consts keep their own dtype — the hoisted jaxprs expect exact
+# const avals.  On real TPU (x64 off) they are f32; the f64 case only arises
+# under the x64 CPU interpret-mode tests, where jnp handles it.
+
+
+def _dot_as_mulsum(lhs, rhs, dimension_numbers):
+    """``lax.dot_general`` decomposed into broadcast-multiply-reduce.
+
+    The model dims here are tiny (nx, nu <= 5), so after tile-vmapping a dot
+    is a handful of VPU multiply-adds — exactly what Mosaic wants.  (The
+    batched ``dot_general`` the vmap would otherwise emit has multiple batch
+    dims, which Mosaic cannot lower.)
+    """
+    (lc, rc), (lb, rb) = dimension_numbers
+    lhs_free = [d for d in range(lhs.ndim) if d not in lc and d not in lb]
+    rhs_free = [d for d in range(rhs.ndim) if d not in rc and d not in rb]
+    lt = jnp.transpose(lhs, list(lb) + lhs_free + list(lc))
+    rt = jnp.transpose(rhs, list(rb) + rhs_free + list(rc))
+    nb, nlf, nrf, ncd = len(lb), len(lhs_free), len(rhs_free), len(lc)
+    lt = lt.reshape(lt.shape[:nb + nlf] + (1,) * nrf + lt.shape[nb + nlf:])
+    rt = rt.reshape(rt.shape[:nb] + (1,) * nlf + rt.shape[nb:])
+    prod = lt * rt
+    if ncd == 0:
+        return prod
+    return prod.sum(axis=tuple(range(prod.ndim - ncd, prod.ndim)))
+
+
+def _eval_jaxpr_nodot(jaxpr, consts, *args):
+    """Evaluate a jaxpr, replacing every ``dot_general`` with mul/sum and
+    recursing into pjit/custom-derivative sub-jaxprs (so nested jitted model
+    helpers get rewritten too)."""
+    from jax.extend.core import Literal
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if name == "dot_general":
+            prec_dtype = eqn.params.get("preferred_element_type")
+            out = _dot_as_mulsum(invals[0], invals[1],
+                                 eqn.params["dimension_numbers"])
+            if prec_dtype is not None:
+                out = out.astype(prec_dtype)
+            outvals = [out]
+        elif name in ("pjit", "closed_call", "core_call"):
+            inner = eqn.params["jaxpr"]
+            outvals = _eval_jaxpr_nodot(inner.jaxpr, inner.consts, *invals)
+        elif name == "custom_jvp_call":
+            inner = eqn.params["call_jaxpr"]
+            outvals = _eval_jaxpr_nodot(inner.jaxpr, inner.consts, *invals)
+        elif name == "custom_vjp_call":
+            inner = eqn.params["call_jaxpr"]
+            outvals = _eval_jaxpr_nodot(inner.jaxpr, inner.consts, *invals)
+        else:
+            outvals = eqn.primitive.bind(*invals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outvals = [outvals]
+        for v, val in zip(eqn.outvars, outvals):
+            env[v] = val
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+def _hoist_consts(fn, *example):
+    """Trace ``fn`` and hoist its closed-over array constants into arguments.
+
+    (``jax.closure_convert`` only hoists closure-captured *tracers*; concrete
+    arrays like cost weight matrices stay baked into the jaxpr, which Pallas
+    rejects as captured constants.)  Returns ``(pure, consts)`` with
+    ``pure(*example_args, *consts)`` equivalent to ``fn(*example_args)``,
+    with all dots decomposed into Mosaic-friendly mul/sum.
+    """
+    from jax import tree_util
+
+    out_store = {}
+
+    def flat_fn(*flat_args):
+        out = fn(*flat_args)
+        out_flat, out_tree = tree_util.tree_flatten(out)
+        out_store["tree"] = out_tree
+        return out_flat
+
+    closed = jax.make_jaxpr(flat_fn)(*example)
+    consts = [jnp.asarray(c) for c in closed.consts]
+    n = len(example)
+
+    def pure(*all_args):
+        args, cs = all_args[:n], all_args[n:]
+        out_flat = _eval_jaxpr_nodot(closed.jaxpr, cs, *args)
+        return tree_util.tree_unflatten(out_store["tree"], out_flat)
+
+    return pure, consts
+
+
+def _make_kernel(nx: int, nu: int, N: int, A: int,
+                 alphas: Tuple[float, ...],
+                 dyn_p: Callable, cost_p: Callable, term_p: Callable,
+                 cb_p: Callable, n_consts: Tuple[int, ...],
+                 const_shapes):
+    """Kernel over pure (closure-converted) callables.
+
+    ``n_consts = (n_dyn, n_cost, n_term, n_cb)`` counts each callable's
+    hoisted constants; ``const_shapes`` lists their original shapes in the
+    same concatenated order.
+    """
+    nd, nc, nt, nb = n_consts
+    total = nd + nc + nt + nb
+
+    # tile-batched callables; hoisted consts are trailing args vmapped like
+    # data (each lane sees the same value)
+    F2 = _f32_out(_tile2(dyn_p, 3 + nd))
+    l2 = _f32_out(_tile2(cost_p, 3 + nc))
+    lf2 = _f32_out(_tile2(term_p, 2 + nt))
+    cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
+    # alpha-axis variants: state/control carry a leading (A,) axis; params,
+    # stage index, and consts are shared
+    F3 = jax.vmap(F2, in_axes=(0, 0, None) + (None,) * nd, out_axes=0)
+    l3 = jax.vmap(l2, in_axes=(0, 0, None) + (None,) * nc, out_axes=0)
+    lf3 = jax.vmap(lf2, in_axes=(0, None) + (None,) * nt, out_axes=0)
+    cb3 = jax.vmap(cb2, in_axes=(0, None, None) + (None,) * nb, out_axes=0)
+
+    def kernel(*refs):
+        (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
+        const_rs = refs[6:6 + total]
+        xs_o, us_o, cost_o = refs[6 + total:]
+
+        # per-lane views of the hoisted constants: (e, 8, 128) -> S + (8, 128)
+        cl = [r[0].reshape(tuple(s) + (_SUB, _LANE))
+              for r, s in zip(const_rs, const_shapes)]
+        c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
+        c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
+
+        def ld(ref, k):
+            return ref[0, pl.ds(k, 1)][0]          # (entries, 8, 128)
+
+        x0 = x0_r[0]                               # (nx, 8, 128)
+        pN = ps_r[0, N]                            # (npar, 8, 128)
+
+        # ---- pass 1: cost of every alpha candidate -----------------------
+        def p1(k, carry):
+            x, cost = carry                        # (A, nx, 8,128), (A, 8,128)
+            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
+            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
+            dx = x - x_nom[None]
+            Kdx = jnp.stack(
+                [sum(Kf[a * nx + i] * dx[:, i] for i in range(nx))
+                 for a in range(nu)], axis=1)      # (A, nu, 8, 128)
+            # alphas unrolled as python-float scalars (no array constants)
+            u = jnp.stack(
+                [u_nom + jnp.float32(alphas[a]) * kff + Kdx[a]
+                 for a in range(A)], axis=0)
+            lb, ub = cb3(x, p, k, *c_cb)
+            u = jnp.clip(u, lb, ub)
+            return F3(x, u, p, *c_dyn), cost + l3(x, u, p, *c_cost)
+
+        xA0 = jnp.broadcast_to(x0[None], (A,) + x0.shape)
+        c0 = jnp.zeros((A, _SUB, _LANE), jnp.float32)
+        xN_A, costs = jax.lax.fori_loop(0, N, p1, (xA0, c0))
+        costs = costs + lf3(xN_A, pN, *c_term)
+
+        # first-minimum alpha per problem (matches jnp.argmin tie-breaking)
+        cmin = costs[0]
+        at = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
+        for a in range(1, A):
+            better = costs[a] < cmin
+            at = jnp.where(better, jnp.float32(alphas[a]), at)
+            cmin = jnp.where(better, costs[a], cmin)
+
+        # ---- pass 2: re-roll the winner, materialize trajectory ----------
+        def p2(k, carry):
+            x, cost = carry                        # (nx, 8, 128), (8, 128)
+            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
+            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
+            dx = x - x_nom
+            Kdx = jnp.stack(
+                [sum(Kf[a * nx + i] * dx[i] for i in range(nx))
+                 for a in range(nu)], axis=0)      # (nu, 8, 128)
+            u = u_nom + at[None] * kff + Kdx
+            lb, ub = cb2(x, p, k, *c_cb)
+            u = jnp.clip(u, lb, ub)
+            xs_o[0, pl.ds(k, 1)] = x[None]
+            us_o[0, pl.ds(k, 1)] = u[None]
+            return F2(x, u, p, *c_dyn), cost + l2(x, u, p, *c_cost)
+
+        z = jnp.zeros((_SUB, _LANE), jnp.float32)
+        xN, cost2 = jax.lax.fori_loop(0, N, p2, (x0, z))
+        xs_o[0, pl.ds(N, 1)] = xN[None]
+        cost_o[0] = cost2 + lf2(xN, pN, *c_term)
+
+    return kernel
+
+
+def linesearch_forward_pallas(
+        x0, xs_nom, us_nom, ps, kffs, Ks, *,
+        alphas: Sequence[float],
+        dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
+        control_bounds: Callable, nx: int, nu: int,
+        interpret: bool = False):
+    """Fused batched line search on TPU.
+
+    Args:
+      x0: (B, nx) initial states.
+      xs_nom: (B, N+1, nx) nominal state trajectories.
+      us_nom: (B, N, nu) nominal controls.
+      ps: (B, N+1, npar) stage parameters.
+      kffs: (B, N, nu) feedforward steps; Ks: (B, N, nu, nx) feedback gains.
+      alphas: static step lengths (best is chosen per problem).
+      dynamics/stage_cost/terminal_cost/control_bounds: the OCP callables on
+        single vectors (``F(x,u,p)``, ``l(x,u,p)``, ``lf(x,p)``,
+        ``cb(x,p,k) -> (lb, ub)``).
+
+    Returns (xs_best (B, N+1, nx), us_best (B, N, nu), cost_best (B,)) for the
+    per-problem best alpha.  B is padded internally to a multiple of 1024.
+    """
+    B0, N = us_nom.shape[0], us_nom.shape[1]
+    npar = ps.shape[-1]
+    A = len(alphas)
+    B = ((B0 + _CELL - 1) // _CELL) * _CELL
+    G = B // _CELL
+
+    # hoist array constants out of the model callables (Pallas kernels cannot
+    # capture non-scalar constants)
+    zx = jnp.zeros((nx,), jnp.float32)
+    zu = jnp.zeros((nu,), jnp.float32)
+    zp = jnp.zeros((npar,), jnp.float32)
+    zk = jnp.zeros((), jnp.int32)
+    dyn_p, dyn_c = _hoist_consts(dynamics, zx, zu, zp)
+    cost_p, cost_c = _hoist_consts(stage_cost, zx, zu, zp)
+    term_p, term_c = _hoist_consts(terminal_cost, zx, zp)
+    cb_p, cb_c = _hoist_consts(control_bounds, zx, zp, zk)
+    consts = [*dyn_c, *cost_c, *term_c, *cb_c]
+    n_consts = (len(dyn_c), len(cost_c), len(term_c), len(cb_c))
+    const_shapes = [tuple(c.shape) for c in consts]
+
+    def pad(x):
+        if x.shape[0] == B:
+            return x
+        pw = [(0, B - B0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pw)
+
+    f32 = lambda x: pad(jnp.asarray(x, jnp.float32))
+
+    args = [
+        _to_tiles_static(f32(x0), B),                      # (G, nx, 8, 128)
+        _to_tiles(f32(xs_nom[:, :N]), B, nx),
+        _to_tiles(f32(us_nom), B, nu),
+        _to_tiles(f32(kffs), B, nu),
+        _to_tiles(f32(Ks), B, nu * nx),
+        _to_tiles(f32(ps), B, npar),                       # (G, N+1, npar, ...)
+    ]
+    for c in consts:
+        e = max(int(np.prod(c.shape)), 1)
+        args.append(jnp.broadcast_to(
+            jnp.asarray(c).reshape(1, e, 1, 1), (G, e, _SUB, _LANE)))
+
+    def stage_spec(n, entries):
+        return pl.BlockSpec((1, n, entries, _SUB, _LANE),
+                            lambda g: (g, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def static_spec(entries):
+        return pl.BlockSpec((1, entries, _SUB, _LANE), lambda g: (g, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        static_spec(nx),
+        stage_spec(N, nx), stage_spec(N, nu), stage_spec(N, nu),
+        stage_spec(N, nu * nx), stage_spec(N + 1, npar),
+    ] + [static_spec(max(int(np.prod(c.shape)), 1)) for c in consts]
+    out_specs = [
+        stage_spec(N + 1, nx),
+        stage_spec(N, nu),
+        pl.BlockSpec((1, _SUB, _LANE), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, N + 1, nx, _SUB, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((G, N, nu, _SUB, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
+    ]
+
+    kernel = _make_kernel(nx, nu, N, A, tuple(float(a) for a in alphas),
+                          dyn_p, cost_p, term_p, cb_p, n_consts, const_shapes)
+    xs_t, us_t, cost_t = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Mosaic's worst-case stack accounting for the unrolled
+            # alpha-vectorized RK4 temporaries exceeds the 16MB default;
+            # v5e has 128MB physical VMEM per core
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    xs = _from_tiles(xs_t, B, nx)[:B0]
+    us = _from_tiles(us_t, B, nu)[:B0]
+    cost = cost_t.reshape(B)[:B0]
+    return xs, us, cost

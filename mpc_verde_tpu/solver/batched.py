@@ -27,13 +27,16 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a batch.
 
     Args have a leading batch axis: x0s (B, nx), params (B, N+1, npar),
-    us_init (B, N, nu).  ``backend`` selects the backward pass: "pallas"
-    (TPU kernel) or "xla" (vmapped scan — used for CPU verification).
+    us_init (B, N, nu).  ``backend`` selects the kernel set:
+      * "pallas"    — Riccati backward kernel + fused line-search forward
+                      kernel (both sequential hot loops as single launches);
+      * "pallas_bw" — Riccati backward kernel, XLA scan line search;
+      * "xla"       — pure vmapped-XLA (CPU verification path).
     """
     if ocp.has_state_bounds:
         raise NotImplementedError(
             "batched fast path has no AL state bounds; use make_ilqr_solver")
-    if ocp.nu > 2 and backend == "pallas":
+    if ocp.nu > 2 and backend.startswith("pallas"):
         raise NotImplementedError("pallas backward supports nu <= 2")
 
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
@@ -89,7 +92,24 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     derivs = jax.vmap(derivs1)
     alphas = opt.alpha_decay ** jnp.arange(opt.n_alphas)
 
-    if backend == "pallas":
+    # "pallas" fuses BOTH hot sequential passes into single kernel launches
+    # (Riccati backward + line-search forward); "pallas_bw" keeps the XLA
+    # scan line search (backward kernel only); "xla" is the pure-XLA
+    # verification path.
+    use_fwd_kernel = backend == "pallas"
+    if use_fwd_kernel:
+        from ..ops.pallas.rollout import linesearch_forward_pallas
+
+        alpha_list = tuple(float(opt.alpha_decay) ** i
+                           for i in range(opt.n_alphas))
+
+        def fwd_kernel(x0s, xs, us, ps, kffs, Ks):
+            return linesearch_forward_pallas(
+                x0s, xs, us, ps, kffs, Ks, alphas=alpha_list,
+                dynamics=F, stage_cost=l, terminal_cost=lf,
+                control_bounds=cb, nx=nx, nu=nu)
+
+    if backend.startswith("pallas"):
         def backward(d, gN, HN, dlb, dub, reg, ddp_scale):
             return riccati_backward_pallas(
                 d, dlb, dub, gN, HN, reg, ddp_scale, nx=nx, nu=nu,
@@ -174,12 +194,15 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             kffs, Ks, dV1, dV2, gmax = backward(
                 d, gN, HN, dlb, dub, reg, ddp_on.astype(cost.dtype))
 
-            xs_c, us_c, costs_c = jax.vmap(
-                lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
-            best = jnp.argmin(costs_c, axis=0)                   # (B,)
-            new_cost = costs_c[best, jnp.arange(B)]
-            xs_b = xs_c[best, jnp.arange(B)]
-            us_b = us_c[best, jnp.arange(B)]
+            if use_fwd_kernel:
+                xs_b, us_b, new_cost = fwd_kernel(x0s, xs, us, ps, kffs, Ks)
+            else:
+                xs_c, us_c, costs_c = jax.vmap(
+                    lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
+                best = jnp.argmin(costs_c, axis=0)               # (B,)
+                new_cost = costs_c[best, jnp.arange(B)]
+                xs_b = xs_c[best, jnp.arange(B)]
+                us_b = us_c[best, jnp.arange(B)]
             improved = new_cost < cost - 1e-12
 
             small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
