@@ -785,8 +785,9 @@ class _NlpSolver:
             else {}
         tol = float(io.get("acceptable_tol", io.get("tol", 1e-8)))
         nlp_opts = NLPOptions(tol=max(tol, 1e-9), tol_con=max(tol, 1e-9))
-        self._solve = jax.jit(make_nlpsol(f_fn, g_fn, self.n, self.m,
-                                          nlp_opts))
+        self._solve_fn = make_nlpsol(f_fn, g_fn, self.n, self.m, nlp_opts)
+        self._solve = jax.jit(self._solve_fn)
+        self._vsolve = None
         self._stats = {"success": False, "return_status": "Unsolved",
                        "iterations": 0}
 
@@ -822,6 +823,42 @@ class _NlpSolver:
 
     def stats(self):
         return dict(self._stats)
+
+    def batch_solve(self, x0s, ps=None, lbx=None, ubx=None, lbg=None,
+                    ubg=None):
+        """Solve a whole batch of instances of this NLP in one device call.
+
+        The axis the reference never had: one IPOPT process solves one
+        problem at a time, while this vmaps the jitted AL/projected-Newton
+        solve over (B, n) initial guesses and (B, np) parameters — thousands
+        of hand-rolled NLPs per chip (cf. the serial sweep of
+        ``Trajectory Tracking/Phiref.py:24-28``).
+
+        Returns the raw ``NLPResult`` pytree with a leading batch axis.
+        """
+        import jax
+        import numpy as _np
+
+        x0s = _np.asarray(x0s, float)
+        B = x0s.shape[0]
+        if ps is None:
+            ps = _np.zeros((B, len(self._p_leaves)))
+        ps = _np.asarray(ps, float).reshape(B, -1)
+
+        def vec(v, size, fill):
+            if v is None:
+                return _np.full(size, fill)
+            a = _np.asarray(v if not isinstance(v, DM) else v.arr, float)
+            return _np.broadcast_to(
+                a.reshape(-1, order="F"), (size,)).copy() \
+                if a.size != size else a.reshape(-1, order="F")
+
+        lbxv, ubxv = vec(lbx, self.n, -inf), vec(ubx, self.n, inf)
+        lbgv, ubgv = vec(lbg, self.m, -inf), vec(ubg, self.m, inf)
+        if self._vsolve is None:
+            self._vsolve = jax.jit(jax.vmap(
+                self._solve_fn, in_axes=(0, 0, None, None, None, None)))
+        return self._vsolve(x0s, ps, lbxv, ubxv, lbgv, ubgv)
 
 
 def nlpsol(name: str, plugin: str, prob: dict, opts: Optional[dict] = None):

@@ -300,3 +300,23 @@ def test_rk4_quadrature_function_composition():
                           jnp.array([1.0, 1.0, 0.0]))
     np.testing.assert_allclose(xf, np.asarray(xf_ref), atol=1e-10)
     assert qf == pytest.approx(float(qf_ref), rel=1e-10)
+
+
+def test_nlpsol_batch_solve():
+    """batch_solve: one device call solves many instances (vmapped IPOPT)."""
+    f, ff, solver, lbx, ubx = _build_ss_v1_solver()
+    rng = np.random.default_rng(7)
+    B = 12
+    x0s = np.zeros((B, 2 * N))
+    tgts = np.tile([1.5, 1.5, 0.0], (B, 1))
+    inits = rng.uniform(-0.5, 0.5, (B, 3))
+    ps = np.concatenate([inits, tgts], axis=1)
+    res = solver.batch_solve(x0s, ps, lbx=lbx, ubx=ubx,
+                             lbg=-ca.inf, ubg=ca.inf)
+    assert bool(res.converged.all())
+    # each batch member must match its serial solve
+    for b in (0, 5, 11):
+        sol = solver(x0=x0s[b], lbx=lbx, ubx=ubx, lbg=-ca.inf, ubg=ca.inf,
+                     p=ps[b])
+        np.testing.assert_allclose(np.asarray(res.x)[b],
+                                   sol["x"].full().ravel(), atol=1e-7)
