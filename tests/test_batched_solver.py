@@ -78,3 +78,56 @@ def test_quorum_exit_caps_straggler_tail():
     # converged members' solutions are identical between the two runs
     assert np.abs(np.array(r_q.us[: B // 2]) -
                   np.array(r_full.us[: B // 2])).max() < 1e-6
+
+
+def test_drained_solver_finishes_stragglers():
+    # same easy/hard split; the drained solver must (a) exit the main batch
+    # at quorum, (b) re-solve the hard members in the drain batch, and
+    # (c) scatter fully-converged results back — matching the strict
+    # (quorum=1.0) solve member-for-member
+    from mpc_verde_tpu.solver.batched import make_drained_solver
+
+    ocp = _ocp()
+    B = 8
+    target = jnp.array([5.0, 5.0, 0.0], jnp.float32)
+    x0s = jnp.concatenate([
+        jnp.broadcast_to(target, (B // 2, 3)),
+        jnp.broadcast_to(jnp.array([-8.0, 7.0, 2.0], jnp.float32), (B // 2, 3)),
+    ])
+    params = jnp.broadcast_to(target, (B, N + 1, 3))
+    us0 = jnp.zeros((B, N, 2), jnp.float32)
+
+    opts = mv.ILQROptions(max_iters=60)
+    r_strict = jax.jit(make_batched_ilqr_solver(ocp, opts, backend="xla"))(
+        x0s, params, us0)
+    # drain_capacity=3 < 4 stragglers forces the chunked (2-pass) drain path
+    solve_d = make_drained_solver(ocp, opts, backend="xla", quorum=0.5,
+                                  drain_capacity=3)
+    r_d = solve_d(x0s, params, us0)
+
+    assert bool(r_strict.converged.all())
+    assert bool(r_d.converged.all())
+    # every member lands at the same cost as the strict solve
+    assert np.allclose(np.array(r_d.cost), np.array(r_strict.cost), rtol=1e-4)
+    # easy members pass through phase 1 untouched
+    assert np.abs(np.array(r_d.us[: B // 2]) -
+                  np.array(r_strict.us[: B // 2])).max() < 1e-6
+    # drained members reach the same controls (warm-started continuation of
+    # the identical iteration, so agreement is tight)
+    assert np.abs(np.array(r_d.us[B // 2:]) -
+                  np.array(r_strict.us[B // 2:])).max() < 5e-3
+
+
+def test_drained_solver_noop_when_all_converge():
+    from mpc_verde_tpu.solver.batched import make_drained_solver
+
+    ocp = _ocp()
+    B = 4
+    rng = np.random.default_rng(3)
+    x0s = jnp.array(rng.uniform(-1, 1, (B, 3)), jnp.float32)
+    params = jnp.broadcast_to(jnp.array([5.0, 5.0, 0.0], jnp.float32),
+                              (B, N + 1, 3))
+    solve_d = make_drained_solver(ocp, mv.ILQROptions(max_iters=60),
+                                  backend="xla", quorum=0.99)
+    r = solve_d(x0s, params, jnp.zeros((B, N, 2), jnp.float32))
+    assert bool(r.converged.all())
