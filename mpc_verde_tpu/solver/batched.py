@@ -10,8 +10,16 @@ the backward pass runs as the single-launch Pallas kernel
 Restrictions vs the per-problem solver: nu <= 2, no augmented-Lagrangian
 state bounds (fall back to ``make_ilqr_solver`` for those problems — every
 reference family except circular-with-state-box fits the fast path).
+
+The iteration-body pieces (rollout / line search / backward / acceptance
+logic) are factored out so the streaming refill solver
+(``solver/streaming.py``) reuses them verbatim — both solvers run the exact
+same per-iteration math; they differ only in what happens to finished batch
+members.
 """
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -22,25 +30,19 @@ from .ilqr import ILQROptions, ILQRResult
 from ..ops.pallas.riccati import riccati_backward_pallas
 
 
-def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
-                             backend: str = "pallas"):
-    """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a batch.
+@dataclasses.dataclass
+class _Parts:
+    """Jittable building blocks of one batched DDP iteration."""
 
-    Args have a leading batch axis: x0s (B, nx), params (B, N+1, npar),
-    us_init (B, N, nu).  ``backend`` selects the kernel set:
-      * "pallas"    — Riccati backward kernel + fused line-search forward
-                      kernel (both sequential hot loops as single launches);
-      * "pallas_bw" — Riccati backward kernel, XLA scan line search;
-      * "xla"       — pure vmapped-XLA (CPU verification path).
-    """
-    if ocp.has_state_bounds:
-        raise NotImplementedError(
-            "batched fast path has no AL state bounds; use make_ilqr_solver")
-    if ocp.nu > 2 and backend.startswith("pallas"):
-        raise NotImplementedError("pallas backward supports nu <= 2")
+    rollout: callable      # (x0s, us, ps) -> xs, us_clipped, cost
+    derivs: callable       # (xs, us, ps) -> d, gN, HN, dlb, dub
+    backward: callable     # (d, gN, HN, dlb, dub, reg, ddp) -> kffs, Ks, dV1, dV2, gmax
+    linesearch: callable   # (x0s, xs, us, ps, kffs, Ks) -> xs_b, us_b, new_cost
 
+
+def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
+                linesearch: str) -> _Parts:
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
-    opt = options
     F = ocp.dynamics
     l = ocp.stage_cost
     lf = ocp.terminal_cost or (lambda x, p: jnp.zeros((), dtype=x.dtype))
@@ -79,6 +81,24 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         xs_n = jnp.concatenate([xs_n, xN[None]], axis=0)
         return xs_n, us_n, jnp.sum(cs) + lf(xN, ps[N])
 
+    def fwd_cost1(x0, xs, us, ps, kffs, Ks, alpha):
+        """Cost of the alpha-step rollout without materializing it.
+
+        Per-stage costs are scan *outputs* reduced by ``jnp.sum`` — the same
+        pairwise summation as the materializing path — so line-search
+        decisions agree across the two modes up to compile-level rounding.
+        """
+        def step(x, inp):
+            x_nom, u_nom, k_ff, K, p, k = inp
+            u = u_nom + alpha * k_ff + K @ (x - x_nom)
+            lb, ub = cb(x, p, k)
+            u = jnp.clip(u, lb, ub)
+            return F(x, u, p), l(x, u, p)
+
+        xN, cs = jax.lax.scan(
+            step, x0, (xs[:N], us, kffs, Ks, ps[:N], ks))
+        return jnp.sum(cs) + lf(xN, ps[N])
+
     def derivs1(xs, us, ps):
         d = linearize_trajectory(F, l, xs[:N], us, ps[:N],
                                  second_order=opt.use_ddp)
@@ -89,6 +109,17 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
     rollout = jax.vmap(rollout1)
     forward = jax.vmap(forward1, in_axes=(0, 0, 0, 0, 0, 0, None))
+    # winner re-roll: per-problem step length (batch axis on alpha too)
+    forward_ba = jax.vmap(forward1)
+    # cost-only sweep -> (B, A); alpha rides the inner vmap so the scan
+    # reads (B, ...) inputs once and broadcasts across alpha in-register
+    fwd_costs = jax.vmap(
+        jax.vmap(fwd_cost1, in_axes=(None,) * 6 + (0,)),
+        in_axes=(0, 0, 0, 0, 0, 0, None))
+    # NOTE a rejected variant (round 2): flattening the alpha sweep into a
+    # single vmap over (B*A,) broadcast-materialized inputs reads ~A x more
+    # HBM per scan step — measured 272 ms vs 165 ms per 16k-problem queue.
+    # Keep alpha as a broadcast axis, never a physical one.
     derivs = jax.vmap(derivs1)
     alphas = opt.alpha_decay ** jnp.arange(opt.n_alphas)
 
@@ -97,17 +128,34 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     # scan line search (backward kernel only); "xla" is the pure-XLA
     # verification path.
     use_fwd_kernel = backend == "pallas"
+    use_costonly = (not use_fwd_kernel) and linesearch == "costonly"
+    if linesearch not in ("costonly", "materialize"):
+        raise ValueError(f"unknown linesearch mode {linesearch!r}")
     if use_fwd_kernel:
         from ..ops.pallas.rollout import linesearch_forward_pallas
 
         alpha_list = tuple(float(opt.alpha_decay) ** i
                            for i in range(opt.n_alphas))
 
-        def fwd_kernel(x0s, xs, us, ps, kffs, Ks):
+        def ls(x0s, xs, us, ps, kffs, Ks):
             return linesearch_forward_pallas(
                 x0s, xs, us, ps, kffs, Ks, alphas=alpha_list,
                 dynamics=F, stage_cost=l, terminal_cost=lf,
                 control_bounds=cb, nx=nx, nu=nu)
+    elif use_costonly:
+        def ls(x0s, xs, us, ps, kffs, Ks):
+            # sweep all alphas materialization-free, re-roll the winner
+            costs_c = fwd_costs(x0s, xs, us, ps, kffs, Ks, alphas)  # (B,A)
+            best = jnp.argmin(costs_c, axis=1)                     # (B,)
+            return forward_ba(x0s, xs, us, ps, kffs, Ks, alphas[best])
+    else:
+        def ls(x0s, xs, us, ps, kffs, Ks):
+            B = x0s.shape[0]
+            xs_c, us_c, costs_c = jax.vmap(
+                lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
+            best = jnp.argmin(costs_c, axis=0)                     # (B,)
+            new_cost = costs_c[best, jnp.arange(B)]
+            return xs_c[best, jnp.arange(B)], us_c[best, jnp.arange(B)], new_cost
 
     if backend.startswith("pallas"):
         def backward(d, gN, HN, dlb, dub, reg, ddp_scale):
@@ -158,25 +206,131 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
         backward = jax.vmap(backward1)
 
+    return _Parts(rollout=rollout, derivs=derivs, backward=backward,
+                  linesearch=ls)
+
+
+def _broadcast_params(ocp: OCP, ps, B, dt_f):
+    """Normalize a params argument to (B, N+1, npar)."""
+    N = ocp.N
+    if ps is None:
+        return jnp.zeros((B, N + 1, max(ocp.npar, 1)), dtype=dt_f)
+    ps = jnp.asarray(ps, dtype=dt_f)
+    # broadcast conveniences, matching the sibling solvers: (npar,) shared
+    # across stages+batch, or (N+1, npar) shared across batch
+    if ps.ndim == 1:
+        ps = jnp.broadcast_to(ps, (B, N + 1, ps.shape[0]))
+    elif ps.ndim == 2:
+        ps = jnp.broadcast_to(ps[None], (B,) + ps.shape)
+    return ps
+
+
+def _accept_and_update(opt: ILQROptions, carry, gmax, xs_b, us_b, new_cost,
+                       fresh=None):
+    """Shared per-iteration acceptance / convergence / freeze logic.
+
+    ``carry`` is the 10-tuple (xs, us, cost, reg, it, done, gnorm, stall,
+    fail, ddp_on), every leaf with a leading batch axis.  ``fresh`` (optional
+    bool (B,)) marks streaming-solver slots whose "line search" this
+    iteration was really the initial rollout of a just-loaded problem: they
+    accept unconditionally and are exempt from convergence judgments.
+    """
+    xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
+    B = cost.shape[0]
+    improved = new_cost < cost - 1e-12
+
+    small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
+    stall_n = jnp.where(improved, 0, stall + 1)
+    stalled = stall_n >= opt.stall_iters
+    # DDP -> Gauss-Newton fallback on stalled line search (see ilqr.py)
+    ddp_off_now = (stalled & ddp_on
+                   & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
+    ddp_on_n = ddp_on & ~ddp_off_now
+    stall_n = jnp.where(ddp_off_now, 0, stall_n)
+    new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
+                | ~jnp.isfinite(cost))
+    new_done = ((gmax < opt.tol_grad)
+                | (improved & small_step)
+                | (stalled & ~ddp_off_now)
+                | new_fail)
+    if fresh is not None:
+        # a freshly refilled slot's first pass is its initial rollout:
+        # always accept it, never judge convergence on stale-derivative gmax
+        improved = improved | fresh
+        new_done = new_done & ~fresh
+        new_fail = new_fail & ~fresh
+
+    keep = done
+    sel = lambda old, new: jnp.where(
+        keep.reshape((B,) + (1,) * (old.ndim - 1)), old, new)
+    imp = improved.reshape((B,) + (1,) * (xs.ndim - 1))
+    xs_n = sel(xs, jnp.where(imp, xs_b, xs))
+    imp_u = improved.reshape((B,) + (1,) * (us.ndim - 1))
+    us_n = sel(us, jnp.where(imp_u, us_b, us))
+    cost_n = sel(cost, jnp.where(improved, new_cost, cost))
+    reg_n = sel(reg, jnp.where(
+        improved,
+        jnp.maximum(reg / opt.reg_down, opt.reg_min),
+        jnp.minimum(reg * opt.reg_up, opt.reg_max)))
+    # fresh Gauss-Newton steps start from reg_init (see ilqr.py)
+    reg_n = jnp.where(ddp_off_now & ~keep,
+                      jnp.asarray(opt.reg_init, reg.dtype), reg_n)
+    if fresh is not None:
+        reg_n = jnp.where(fresh, jnp.asarray(opt.reg_init, reg.dtype), reg_n)
+    it_n = jnp.where(keep, it, it + 1)
+    stall_out = jnp.where(keep, stall, stall_n)
+    done_n = done | new_done
+    fail_n = fail | jnp.where(keep, False, new_fail)
+    gnorm_n = jnp.where(keep, gnorm, gmax)
+    ddp_out = jnp.where(keep, ddp_on, ddp_on_n)
+    return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n,
+            stall_out, fail_n, ddp_out)
+
+
+def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
+                             backend: str = "pallas",
+                             linesearch: str = "materialize"):
+    """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a batch.
+
+    Args have a leading batch axis: x0s (B, nx), params (B, N+1, npar),
+    us_init (B, N, nu).  ``backend`` selects the kernel set:
+      * "pallas"    — Riccati backward kernel + fused line-search forward
+                      kernel (both sequential hot loops as single launches);
+      * "pallas_bw" — Riccati backward kernel, XLA scan line search;
+      * "xla"       — pure vmapped-XLA (CPU verification path).
+
+    ``linesearch`` selects the XLA line-search strategy (ignored when the
+    fused "pallas" forward kernel is active):
+      * "materialize" (default) — roll out and materialize every alpha
+        candidate, then gather the argmin trajectory.  One 40-step scan
+        chain per iteration.
+      * "costonly" — sweep all alphas with a cost-only scan, then re-roll
+        only the winning alpha.  Writes ~A x less HBM but adds a second
+        sequential scan chain; measured SLOWER on v5e (52.2k vs 61.6k
+        solves/s at B=2048) because the iteration body is bound by
+        sequential scan-step latency, not bandwidth.  Kept for ablation and
+        for bandwidth-bound shapes (large nx, very wide batch).
+    """
+    if ocp.has_state_bounds:
+        raise NotImplementedError(
+            "batched fast path has no AL state bounds; use make_ilqr_solver")
+    if ocp.nu > 2 and backend.startswith("pallas"):
+        raise NotImplementedError("pallas backward supports nu <= 2")
+
+    N, nx, nu = ocp.N, ocp.nx, ocp.nu
+    opt = options
+    parts = _make_parts(ocp, opt, backend, linesearch)
+
     def solve(x0s, params=None, us_init=None):
         dt_f = jnp.result_type(float)
         x0s = jnp.asarray(x0s, dtype=dt_f)
         B = x0s.shape[0]
-        if params is None:
-            ps = jnp.zeros((B, N + 1, max(ocp.npar, 1)), dtype=dt_f)
-        else:
-            ps = jnp.asarray(params, dtype=dt_f)
-            # broadcast conveniences, matching the sibling solvers: (npar,)
-            # shared across stages+batch, or (N+1, npar) shared across batch
-            if ps.ndim == 1:
-                ps = jnp.broadcast_to(ps, (B, N + 1, ps.shape[0]))
-            elif ps.ndim == 2:
-                ps = jnp.broadcast_to(ps[None], (B,) + ps.shape)
+        ps = _broadcast_params(ocp, params, B, dt_f)
         if us_init is None:
             us_init = jnp.zeros((B, N, nu), dtype=dt_f)
         us_init = jnp.asarray(us_init, dtype=dt_f)
 
-        xs0, us0, cost0 = rollout(x0s, us_init, ps)
+        xs0, us0, cost0 = parts.rollout(x0s, us_init, ps)
 
         def cond(carry):
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
@@ -190,59 +344,11 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
         def body(carry):
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
-            d, gN, HN, dlb, dub = derivs(xs, us, ps)
-            kffs, Ks, dV1, dV2, gmax = backward(
+            d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
+            kffs, Ks, dV1, dV2, gmax = parts.backward(
                 d, gN, HN, dlb, dub, reg, ddp_on.astype(cost.dtype))
-
-            if use_fwd_kernel:
-                xs_b, us_b, new_cost = fwd_kernel(x0s, xs, us, ps, kffs, Ks)
-            else:
-                xs_c, us_c, costs_c = jax.vmap(
-                    lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
-                best = jnp.argmin(costs_c, axis=0)               # (B,)
-                new_cost = costs_c[best, jnp.arange(B)]
-                xs_b = xs_c[best, jnp.arange(B)]
-                us_b = us_c[best, jnp.arange(B)]
-            improved = new_cost < cost - 1e-12
-
-            small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
-            stall_n = jnp.where(improved, 0, stall + 1)
-            stalled = stall_n >= opt.stall_iters
-            # DDP -> Gauss-Newton fallback on stalled line search (see ilqr.py)
-            ddp_off_now = (stalled & ddp_on
-                           & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
-            ddp_on_n = ddp_on & ~ddp_off_now
-            stall_n = jnp.where(ddp_off_now, 0, stall_n)
-            new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
-                        | ~jnp.isfinite(cost))
-            new_done = ((gmax < opt.tol_grad)
-                        | (improved & small_step)
-                        | (stalled & ~ddp_off_now)
-                        | new_fail)
-
-            keep = done
-            sel = lambda old, new: jnp.where(
-                keep.reshape((B,) + (1,) * (old.ndim - 1)), old, new)
-            imp = improved.reshape((B,) + (1,) * (xs.ndim - 1))
-            xs_n = sel(xs, jnp.where(imp, xs_b, xs))
-            imp_u = improved.reshape((B,) + (1,) * (us.ndim - 1))
-            us_n = sel(us, jnp.where(imp_u, us_b, us))
-            cost_n = sel(cost, jnp.where(improved, new_cost, cost))
-            reg_n = sel(reg, jnp.where(
-                improved,
-                jnp.maximum(reg / opt.reg_down, opt.reg_min),
-                jnp.minimum(reg * opt.reg_up, opt.reg_max)))
-            # fresh Gauss-Newton steps start from reg_init (see ilqr.py)
-            reg_n = jnp.where(ddp_off_now & ~keep,
-                              jnp.asarray(opt.reg_init, reg.dtype), reg_n)
-            it_n = jnp.where(keep, it, it + 1)
-            stall_out = jnp.where(keep, stall, stall_n)
-            done_n = done | new_done
-            fail_n = fail | jnp.where(keep, False, new_fail)
-            gnorm_n = jnp.where(keep, gnorm, gmax)
-            ddp_out = jnp.where(keep, ddp_on, ddp_on_n)
-            return (xs_n, us_n, cost_n, reg_n, it_n, done_n, gnorm_n,
-                    stall_out, fail_n, ddp_out)
+            xs_b, us_b, new_cost = parts.linesearch(x0s, xs, us, ps, kffs, Ks)
+            return _accept_and_update(opt, carry, gmax, xs_b, us_b, new_cost)
 
         B_ = x0s.shape[0]
         reg0 = jnp.full((B_,), opt.reg_init, dtype=dt_f)
@@ -289,7 +395,10 @@ def make_drained_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     when every problem in the batch must converge (safety-critical serving);
     use the plain solver with ``quorum=1.0`` for maximum throughput with
     per-member ``converged`` flags, or ``quorum<1`` alone for bounded
-    latency without the drain.
+    latency without the drain.  For *throughput*-oriented full-convergence
+    serving over large problem queues, prefer
+    ``solver.streaming.make_streaming_solver``, which pays mean- rather than
+    max-iteration cost per problem.
 
     The orchestration is host-side (two persistent jitted executables, one
     per batch shape); call it outside ``jit``.  Semantics match
@@ -326,15 +435,7 @@ def make_drained_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             return res
         x0s = jnp.asarray(x0s, dtype=res.xs.dtype)
         B = x0s.shape[0]
-        N = ocp.N
-        if params is None:
-            ps = jnp.zeros((B, N + 1, max(ocp.npar, 1)), dtype=res.xs.dtype)
-        else:
-            ps = jnp.asarray(params, dtype=res.xs.dtype)
-            if ps.ndim == 1:
-                ps = jnp.broadcast_to(ps, (B, N + 1, ps.shape[0]))
-            elif ps.ndim == 2:
-                ps = jnp.broadcast_to(ps[None], (B,) + ps.shape)
+        ps = _broadcast_params(ocp, params, B, res.xs.dtype)
         xs, us = res.xs, res.us
         cost, gnorm = res.cost, res.grad_norm
         it, convd = res.iterations, res.converged

@@ -1,0 +1,233 @@
+"""Streaming (persistent-batch) DDP solver: pay mean iterations, not max.
+
+The batched solver's ``while_loop`` runs until its *slowest* member finishes:
+at N=40 the iteration distribution is mean ~15 / p99 ~36 / cap 40, so every
+batch pays ~40 iterations of full-batch work for ~15 iterations of useful
+work per member (docs/design.md straggler study).  The quorum/drain modes
+trade convergence or dispatch round-trips against that tail.
+
+This module removes the tail structurally.  One compiled ``while_loop`` owns
+a fixed-width slot batch and a *queue* of M problems in HBM:
+
+  * every slot runs the exact same per-iteration math as
+    ``make_batched_ilqr_solver`` (the body pieces are shared —
+    ``batched._make_parts`` / ``batched._accept_and_update``);
+  * when a slot's problem converges (or exhausts its budget), its result is
+    scattered to the output buffers and the slot immediately reloads the
+    next queued problem;
+  * a reloaded slot's first pass doubles as its initial rollout: its
+    feedback gains are zeroed, so the shared line-search pass rolls out the
+    fresh problem's warm start at every alpha (all identical) — refill adds
+    ZERO sequential depth to the iteration body.
+
+Total device time is therefore ~(mean iterations x per-iteration cost x
+M / B) instead of ~(max iterations x ...): the straggler tail of one batch
+overlaps with fresh problems instead of blocking them.  Convergence
+semantics per problem are identical to the strict batched solver (full
+iteration budget, per-problem ``converged`` flags).
+
+This is the TPU-native analogue of continuous batching in LLM serving; the
+reference's one-IPOPT-process-per-problem model has no counterpart
+(``Casadi/single_shooting_v1.py:174`` solves serially).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ocp.spec import OCP
+from .ilqr import ILQROptions, ILQRResult
+from .batched import _make_parts, _accept_and_update, _broadcast_params
+
+
+def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
+                          backend: str = "pallas_bw",
+                          batch_width: int = 2048,
+                          linesearch: str = "materialize",
+                          restarts: int = 0):
+    """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a problem queue.
+
+    Args of the returned function have a leading *queue* axis of length M
+    (any M >= 1): x0s (M, nx), params (M, N+1, npar) (or the broadcast
+    conveniences of the batched solver), us_init (M, N, nu).  ``batch_width``
+    is the number of resident slots B; throughput saturates once B fills the
+    chip (B ~ 2048 on v5e for the N=40 reference problem) and M >> B
+    amortizes the pipeline head/tail.
+
+    The whole queue is solved in ONE device dispatch (one ``while_loop``);
+    results come back in queue order with per-problem convergence flags,
+    exactly like the batched solver's.
+
+    ``restarts``: how many times a problem that exhausts its iteration
+    budget is requeued *in place* — fresh solver state (regularization,
+    stall counters, DDP mode), warm-started at its best iterate — before
+    being reported unconverged.  This is the drain-phase restart of
+    ``make_drained_solver`` without the extra dispatch: a restart was
+    measured to unstick virtually every budget-capped crawler (see
+    docs/design.md straggler study).  Restart iterations count toward the
+    reported per-problem ``iterations``.
+    """
+    if ocp.has_state_bounds:
+        raise NotImplementedError(
+            "streaming fast path has no AL state bounds; use make_ilqr_solver")
+    if ocp.nu > 2 and backend.startswith("pallas"):
+        raise NotImplementedError("pallas backward supports nu <= 2")
+
+    N, nx, nu = ocp.N, ocp.nx, ocp.nu
+    opt = options
+    B = int(batch_width)
+    parts = _make_parts(ocp, opt, backend, linesearch)
+    npar = max(ocp.npar, 1)
+
+    def solve(x0q, params=None, us_init=None):
+        dt_f = jnp.result_type(float)
+        x0q = jnp.asarray(x0q, dtype=dt_f)
+        M = x0q.shape[0]
+        psq = _broadcast_params(ocp, params, M, dt_f)
+        if us_init is None:
+            us_init = jnp.zeros((M, N, nu), dtype=dt_f)
+        us0q = jnp.asarray(us_init, dtype=dt_f)
+
+        idx0 = jnp.arange(B, dtype=jnp.int32)
+        n0 = min(B, M)
+        prob0 = jnp.where(idx0 < n0, idx0, M)
+        fresh0 = idx0 < n0
+        g0 = jnp.clip(prob0, 0, M - 1)
+
+        inf = jnp.asarray(jnp.inf, dt_f)
+        state0 = (
+            jnp.zeros((B, N + 1, nx), dt_f),        # xs (stale until rollout)
+            us0q[g0],                                # us (nominal = warm start)
+            jnp.full((B,), inf),                     # cost (inf: accept rollout)
+            jnp.full((B,), opt.reg_init, dt_f),      # reg
+            jnp.full((B,), -1, jnp.int32),           # it (-1: rollout pass is 0)
+            ~fresh0,                                 # done (idle slots)
+            jnp.full((B,), inf),                     # gnorm
+            jnp.zeros((B,), jnp.int32),              # stall
+            jnp.zeros((B,), bool),                   # fail
+            jnp.full((B,), bool(opt.use_ddp)),       # ddp_on
+        )
+        book0 = (
+            x0q[g0],                                 # x0s per slot
+            psq[g0],                                 # ps per slot
+            prob0,                                   # problem index (M = idle)
+            fresh0,                                  # fresh flag
+            jnp.zeros((B,), bool),                   # capped flag
+            jnp.zeros((B,), jnp.int32),              # restarts used
+            jnp.zeros((B,), jnp.int32),              # iterations before restart
+            jnp.asarray(n0, jnp.int32),              # queue pointer
+        )
+        # output buffers; row M is the dummy target for idle-slot writes
+        out0 = (
+            jnp.zeros((M + 1, N + 1, nx), dt_f),
+            jnp.zeros((M + 1, N, nu), dt_f),
+            jnp.zeros((M + 1,), dt_f),               # cost
+            jnp.zeros((M + 1,), dt_f),               # gnorm
+            jnp.zeros((M + 1,), jnp.int32),          # iterations
+            jnp.zeros((M + 1,), bool),               # converged
+        )
+
+        def cond(carry):
+            _, book, _ = carry
+            return jnp.any(book[2] < M)
+
+        def body(carry):
+            state, book, out = carry
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = state
+            x0s, ps, prob, fresh_in, capped, rst, iacc, nq = book
+            o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
+
+            # --- scatter finished problems, refill their slots ------------
+            fin = done & (prob < M)
+            widx = jnp.where(fin, prob, M)
+            o_xs = o_xs.at[widx].set(xs)
+            o_us = o_us.at[widx].set(us)
+            o_cost = o_cost.at[widx].set(cost)
+            o_gnorm = o_gnorm.at[widx].set(gnorm)
+            o_it = o_it.at[widx].set(iacc + jnp.maximum(it, 0))
+            o_conv = o_conv.at[widx].set(
+                ~fail & jnp.isfinite(cost) & ~capped)
+
+            rank = jnp.cumsum(fin.astype(jnp.int32)) - 1
+            cand = nq + rank
+            has = fin & (cand < M)
+            gidx = jnp.clip(cand, 0, M - 1)
+            selb = lambda new, old: jnp.where(
+                has.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+            x0s = selb(x0q[gidx], x0s)
+            ps = selb(psq[gidx], ps)
+            us = selb(us0q[gidx], us)
+            cost = jnp.where(has, inf, cost)
+            reg = jnp.where(has, jnp.asarray(opt.reg_init, dt_f), reg)
+            it = jnp.where(has, -1, it)
+            gnorm = jnp.where(has, inf, gnorm)
+            stall = jnp.where(has, 0, stall)
+            fail = jnp.where(has, False, fail)
+            ddp_on = jnp.where(has, bool(opt.use_ddp), ddp_on)
+            capped = jnp.where(has, False, capped)
+            done = jnp.where(has, False, done)
+            prob = jnp.where(has, cand, jnp.where(fin, M, prob))
+            rst = jnp.where(has, 0, rst)
+            iacc = jnp.where(has, 0, iacc)
+            nq = (nq + jnp.sum(has.astype(jnp.int32))).astype(jnp.int32)
+            fresh = fresh_in | has
+
+            # --- one shared solver iteration ------------------------------
+            d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
+            kffs, Ks, dV1, dV2, gmax = parts.backward(
+                d, gN, HN, dlb, dub, reg, ddp_on.astype(dt_f))
+            # a fresh slot's backward ran on stale xs: zero its gains so the
+            # line-search pass is exactly the plain rollout of its warm start
+            fz = fresh.reshape((B, 1, 1))
+            kffs = jnp.where(fz, 0.0, kffs)
+            Ks = jnp.where(fresh.reshape((B, 1, 1, 1)), 0.0, Ks)
+            gmax = jnp.where(fresh, inf, gmax)
+            xs_b, us_b, new_cost = parts.linesearch(x0s, xs, us, ps, kffs, Ks)
+            st = _accept_and_update(
+                opt, (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on),
+                gmax, xs_b, us_b, new_cost, fresh=fresh)
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = st
+
+            # per-slot iteration budget (the batched solver's loop-level cap)
+            newly_capped = ~done & (it >= opt.max_iters)
+            if restarts > 0:
+                # requeue in place: fresh solver state, warm start at the
+                # best iterate (the drain-restart that unsticks crawlers).
+                # Covers BOTH exhausted budgets and reg-exhaustion failures —
+                # a "failed" crawler (regularization maxed out while still
+                # occasionally improving) usually converges after a restart
+                # resets its reg/stall state, exactly like the drained
+                # solver's phase 2 (measured: failures are ~all of the
+                # 0.5% full-mode non-convergers at N=40, iters 20-47 << cap).
+                bad_now = newly_capped | (done & fail & (prob < M))
+                redo = bad_now & (rst < restarts)
+                newly_capped = newly_capped & ~redo
+                fail = jnp.where(redo, False, fail)
+                done = jnp.where(redo, False, done)
+                iacc = jnp.where(redo, iacc + it, iacc)
+                rst = rst + redo.astype(jnp.int32)
+                cost = jnp.where(redo, inf, cost)
+                reg = jnp.where(redo, jnp.asarray(opt.reg_init, dt_f), reg)
+                it = jnp.where(redo, -1, it)
+                stall = jnp.where(redo, 0, stall)
+                gnorm = jnp.where(redo, inf, gnorm)
+                ddp_on = jnp.where(redo, bool(opt.use_ddp), ddp_on)
+                fresh_next = redo
+            else:
+                fresh_next = jnp.zeros((B,), bool)
+            done = done | newly_capped
+            capped = capped | newly_capped
+
+            state = (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on)
+            book = (x0s, ps, prob, fresh_next, capped, rst, iacc, nq)
+            out = (o_xs, o_us, o_cost, o_gnorm, o_it, o_conv)
+            return (state, book, out)
+
+        _, _, out = jax.lax.while_loop(cond, body, (state0, book0, out0))
+        o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
+        return ILQRResult(
+            xs=o_xs[:M], us=o_us[:M], cost=o_cost[:M], grad_norm=o_gnorm[:M],
+            iterations=o_it[:M], converged=o_conv[:M],
+            max_violation=jnp.zeros((M,), dt_f))
+
+    return solve
