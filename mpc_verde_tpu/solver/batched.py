@@ -191,8 +191,12 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
                 gmax = jnp.maximum(gmax, jnp.max(jnp.abs(pg)))
                 return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T), dV1, dV2, gmax), (kff, K)
 
-            vz = jnp.sum(gN) * 0.0
-            init = (gN, HN, vz, vz, vz)
+            # varying-zero derived from the stage derivatives, not gN: with a
+            # zero terminal cost gN/HN are literal zeros, which shard_map
+            # types as replicated and rejects as a scan carry (the stage
+            # outputs are device-varying)
+            vz = jnp.sum(d["lx"]) * 0.0
+            init = (gN + vz, HN + vz, vz, vz, vz)
             if opt.use_ddp:
                 inputs = (d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"],
                           d["luu"], d["lux"], d["fxx"], d["fux"], d["fuu"],

@@ -94,6 +94,17 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         fresh0 = idx0 < n0
         g0 = jnp.clip(prob0, 0, M - 1)
 
+        # Varying-zero: under shard_map, literal-constant carry leaves are
+        # typed "replicated" while the loop body produces device-varying
+        # values; tying every carry leaf to the (varying) problem data keeps
+        # the while_loop carry types consistent.  A no-op outside shard_map.
+        vz = jnp.sum(x0q) * 0.0
+
+        def _vary(leaf):
+            if leaf.dtype == jnp.bool_:
+                return leaf ^ (vz > 1.0)
+            return leaf + vz.astype(leaf.dtype)
+
         inf = jnp.asarray(jnp.inf, dt_f)
         state0 = (
             jnp.zeros((B, N + 1, nx), dt_f),        # xs (stale until rollout)
@@ -126,6 +137,9 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             jnp.zeros((M + 1,), jnp.int32),          # iterations
             jnp.zeros((M + 1,), bool),               # converged
         )
+        state0 = jax.tree.map(_vary, state0)
+        book0 = jax.tree.map(_vary, book0)
+        out0 = jax.tree.map(_vary, out0)
 
         def cond(carry):
             _, book, _ = carry
@@ -214,7 +228,8 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 ddp_on = jnp.where(redo, bool(opt.use_ddp), ddp_on)
                 fresh_next = redo
             else:
-                fresh_next = jnp.zeros((B,), bool)
+                # all-False, but derived from varying data (see _vary)
+                fresh_next = fresh & False
             done = done | newly_capped
             capped = capped | newly_capped
 
