@@ -164,6 +164,12 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
                 use_ddp=opt.use_ddp, tol=opt.boxqp_tol)
     else:
         from .ilqr import _stage_boxqp_with_gain
+        from ..ops.smallmat import small_solve
+
+        # Unbounded controls (e.g. the barrier solver's subproblems): skip
+        # the 3^nu active-set enumeration — the stage QP is a pure Newton
+        # step, valid for ANY nu.
+        unbounded = ocp.control_bounds is None
 
         def backward1(d, gN, HN, dlb, dub, reg, ddp_scale):
             def stage(carry, inp):
@@ -181,13 +187,18 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
                     Qxx = Qxx + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fxx)
                     Qux = Qux + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fux)
                     Quu = Quu + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fuu)
-                kff, K, free = _stage_boxqp_with_gain(
-                    Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
+                if unbounded:
+                    kff = -small_solve(Quu, Qu)
+                    K = -small_solve(Quu, Qux)
+                    pg = Qu
+                else:
+                    kff, K, free = _stage_boxqp_with_gain(
+                        Quu, Qu, Qux, lo, hi, opt.boxqp_tol)
+                    pg = -jnp.clip(-Qu, lo, hi)
                 dV1 = dV1 + kff @ Qu
                 dV2 = dV2 + 0.5 * kff @ Quu @ kff
                 Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
                 Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-                pg = -jnp.clip(-Qu, lo, hi)
                 gmax = jnp.maximum(gmax, jnp.max(jnp.abs(pg)))
                 return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T), dV1, dV2, gmax), (kff, K)
 

@@ -1,0 +1,131 @@
+"""Interior-point (log-barrier) solver vs exact-QP DDP and scipy goldens.
+
+The barrier solver is the IPOPT-method analogue (``solver/ipm.py``): it must
+agree with the exact active-set DDP path on the reference's nu=2 problems to
+within the barrier gap, and extend to nu > 2 (beyond the enumeration/Pallas
+fast paths) where it is validated against a scipy L-BFGS-B golden.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mpc_verde_tpu as mv
+from mpc_verde_tpu.models import unicycle
+from mpc_verde_tpu.ops import rk4_step
+from mpc_verde_tpu.solver.batched import make_batched_ilqr_solver
+from mpc_verde_tpu.solver.ipm import make_barrier_solver
+
+T, N = 0.2, 12
+
+
+def _diffdrive_ocp():
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    return mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                  N=N, nx=3, nu=2, npar=3,
+                  control_bounds=mv.box_bounds(
+                      jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
+
+
+def test_barrier_matches_exact_ddp_on_diffdrive():
+    ocp = _diffdrive_ocp()
+    B = 6
+    rng = np.random.default_rng(5)
+    x0s = jnp.array(rng.uniform(-2, 2, (B, 3)))
+    params = jnp.broadcast_to(jnp.array([5.0, 5.0, 0.0]), (B, N + 1, 3))
+    us0 = jnp.zeros((B, N, 2))
+
+    rd = jax.jit(make_batched_ilqr_solver(
+        ocp, mv.ILQROptions(max_iters=80), backend="xla"))(x0s, params, us0)
+    rb = make_barrier_solver(ocp, mv.ILQROptions(max_iters=80),
+                             backend="xla")(x0s, params, us0)
+    assert bool(rd.converged.all()) and bool(rb.converged.all())
+    # active bounds must actually be exercised by this problem set
+    at_bound = np.isclose(np.abs(np.array(rd.us[..., 0])), 1.0, atol=1e-6)
+    assert at_bound.any()
+    # with crossover the active sets pin exactly
+    assert np.abs(np.array(rd.us) - np.array(rb.us)).max() < 1e-4
+    assert np.allclose(np.array(rd.cost), np.array(rb.cost), rtol=1e-6)
+    # the pure barrier iterate (no crossover) stays strictly interior and
+    # lands within the flat-valley tolerance of the exact solution
+    rp = make_barrier_solver(ocp, mv.ILQROptions(max_iters=80),
+                             backend="xla", crossover=False)(x0s, params, us0)
+    assert (np.array(rp.us[..., 0]) > -1.0).all()
+    assert (np.array(rp.us[..., 0]) < 1.0).all()
+    assert np.allclose(np.array(rd.cost), np.array(rp.cost), rtol=1e-5)
+    assert np.abs(np.array(rd.us) - np.array(rp.us)).max() < 1e-2
+
+
+def test_barrier_solves_nu3_beyond_enumeration_fastpath():
+    # 3-D single integrator with 3 box-bounded velocity controls: nu=3 is
+    # past the Pallas kernel's nu<=2 and exercises the barrier path's
+    # arbitrary-nu claim; golden = scipy L-BFGS-B on the numpy rollout
+    nx = nu = 3
+    Nh = 8
+    dt = 0.25
+    target = np.array([2.0, -1.5, 1.0])
+    ub = np.array([0.8, 0.5, 0.6])
+    lb = -ub
+    Q = np.diag([1.0, 2.0, 1.5])
+    R = 0.1 * np.eye(3)
+
+    def np_cost(uflat):
+        us = uflat.reshape(Nh, nu)
+        x = np.zeros(nx)
+        c = 0.0
+        for k in range(Nh):
+            u = np.clip(us[k], lb, ub)
+            e = x - target
+            c += e @ Q @ e + u @ R @ u
+            x = x + dt * u
+        e = x - target
+        return c + 10.0 * e @ e
+
+    from scipy.optimize import minimize
+    gold = minimize(np_cost, np.zeros(Nh * nu), method="L-BFGS-B",
+                    bounds=[(lb[i % nu], ub[i % nu]) for i in range(Nh * nu)],
+                    options=dict(maxiter=3000, ftol=1e-15, gtol=1e-12))
+
+    Qj, Rj = jnp.array(Q), jnp.array(R)
+    tj = jnp.array(target)
+
+    def l(x, u, p):
+        e = x - tj
+        return e @ Qj @ e + u @ Rj @ u
+
+    ocp = mv.OCP(dynamics=lambda x, u, p: x + dt * u, stage_cost=l,
+                 terminal_cost=lambda x, p: 10.0 * (x - tj) @ (x - tj),
+                 N=Nh, nx=nx, nu=nu, npar=0,
+                 control_bounds=mv.box_bounds(jnp.array(lb), jnp.array(ub)))
+    # crossover=False: validate the PURE barrier path (the arbitrary-nu
+    # capability) against the golden, not the DDP polish
+    solve = make_barrier_solver(ocp, mv.ILQROptions(max_iters=100),
+                                backend="xla", crossover=False)
+    r = solve(jnp.zeros((1, nx)))
+    assert bool(r.converged.all())
+    rel = abs(float(r.cost[0]) - gold.fun) / (1.0 + gold.fun)
+    assert rel < 1e-5, (float(r.cost[0]), gold.fun)
+    # some bound must be active at the golden optimum for this to mean much
+    assert np.isclose(np.abs(gold.x.reshape(Nh, nu)), ub, atol=1e-6).any()
+    assert np.abs(np.array(r.us[0]) - gold.x.reshape(Nh, nu)).max() < 1e-3
+
+
+def test_barrier_rejects_non_constant_or_pinned_boxes():
+    ocp = _diffdrive_ocp()
+    # stage-dependent (move-blocking style) bounds must be rejected
+    lbs = np.tile(np.array([-1.0, -np.pi / 4]), (N, 1))
+    ubs = np.tile(np.array([1.0, np.pi / 4]), (N, 1))
+    ubs[N // 2:] = lbs[N // 2:]  # pinned tail
+    import dataclasses
+    bad = dataclasses.replace(ocp, control_bounds=mv.box_bounds(lbs, ubs))
+    with pytest.raises(ValueError):
+        make_barrier_solver(bad)
+    with pytest.raises(ValueError):
+        make_barrier_solver(dataclasses.replace(ocp, control_bounds=None))
