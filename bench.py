@@ -170,7 +170,7 @@ def main():
 
     # round-1 fixed-batch solver (latency-oriented mode), B=args.batch
     bsolve = jax.jit(make_batched_ilqr_solver(ocp, opts, backend=kern))
-    Bb = args.batch
+    Bb = min(args.batch, M)  # x0q[:Bb] must actually hold Bb problems
     x0b = x0q[:Bb]
     psb = psq[:Bb]
     usb = us0q[:Bb]

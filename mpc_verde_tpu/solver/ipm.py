@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..ocp.spec import OCP
 from .ilqr import ILQROptions, ILQRResult
-from .batched import make_batched_ilqr_solver
+from .batched import make_batched_ilqr_solver, _broadcast_params
 
 
 def _constant_box(ocp: OCP):
@@ -57,10 +57,15 @@ def _constant_box(ocp: OCP):
     zx = jnp.zeros((ocp.nx,))
     zp = jnp.zeros((max(ocp.npar, 1),))
     lb0, ub0 = ocp.control_bounds(zx, zp, 0)
-    lb1, ub1 = ocp.control_bounds(zx + 1.0, zp + 1.0, ocp.N - 1)
-    if not (bool(jnp.all(lb0 == lb1)) and bool(jnp.all(ub0 == ub1))):
-        raise ValueError("barrier solver requires constant control bounds "
-                         "(state/stage-dependent boxes belong to the DDP path)")
+    # probe EVERY stage index plus a shifted (x, p) point: a box that varies
+    # only mid-horizon must be rejected, not silently mis-solved
+    probes = [(zx + 1.0, zp + 1.0, 0)] + [(zx, zp, k) for k in range(1, ocp.N)]
+    for px, pp, pk in probes:
+        lbk, ubk = ocp.control_bounds(px, pp, pk)
+        if not (bool(jnp.all(lb0 == lbk)) and bool(jnp.all(ub0 == ubk))):
+            raise ValueError(
+                "barrier solver requires constant control bounds "
+                "(state/stage-dependent boxes belong to the DDP path)")
     if not (bool(jnp.all(jnp.isfinite(lb0))) and bool(jnp.all(jnp.isfinite(ub0)))
             and bool(jnp.all(ub0 > lb0))):
         raise ValueError("barrier solver requires finite boxes with lb < ub "
@@ -135,14 +140,7 @@ def make_barrier_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         dt_f = jnp.result_type(float)
         x0s = jnp.asarray(x0s, dtype=dt_f)
         B = x0s.shape[0]
-        if params is None:
-            ps = jnp.zeros((B, N + 1, npar), dtype=dt_f)
-        else:
-            ps = jnp.asarray(params, dtype=dt_f)
-            if ps.ndim == 1:
-                ps = jnp.broadcast_to(ps, (B, N + 1, ps.shape[0]))
-            elif ps.ndim == 2:
-                ps = jnp.broadcast_to(ps[None], (B,) + ps.shape)
+        ps = _broadcast_params(ocp, params, B, dt_f)
         if us_init is None:
             us_init = jnp.zeros((B, N, nu), dtype=dt_f)
         margin = interior_margin * (ub - lb)

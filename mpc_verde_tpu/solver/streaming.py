@@ -98,7 +98,10 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         # typed "replicated" while the loop body produces device-varying
         # values; tying every carry leaf to the (varying) problem data keeps
         # the while_loop carry types consistent.  A no-op outside shard_map.
-        vz = jnp.sum(x0q) * 0.0
+        # Non-finite queue entries are masked BEFORE the reduction — a single
+        # NaN x0 (or an f32 overflow of the sum) must poison only its own
+        # problem, never the shared zero.
+        vz = jnp.sum(jnp.where(jnp.isfinite(x0q), x0q, 0.0) * 0.0)
 
         def _vary(leaf):
             if leaf.dtype == jnp.bool_:
@@ -171,6 +174,9 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             x0s = selb(x0q[gidx], x0s)
             ps = selb(psq[gidx], ps)
             us = selb(us0q[gidx], us)
+            # a dead problem may leave NaNs in the slot trajectory; the fresh
+            # pass zeroes the gains but 0 * NaN is still NaN in K @ (x-x_nom)
+            xs = selb(jnp.zeros_like(xs), xs)
             cost = jnp.where(has, inf, cost)
             reg = jnp.where(has, jnp.asarray(opt.reg_init, dt_f), reg)
             it = jnp.where(has, -1, it)

@@ -129,3 +129,16 @@ def test_barrier_rejects_non_constant_or_pinned_boxes():
         make_barrier_solver(bad)
     with pytest.raises(ValueError):
         make_barrier_solver(dataclasses.replace(ocp, control_bounds=None))
+
+
+def test_barrier_rejects_mid_horizon_varying_box():
+    # a box that differs ONLY in interior stages (endpoints identical) must
+    # still be rejected — the constancy probe covers every stage index
+    ocp = _diffdrive_ocp()
+    lbs = np.tile(np.array([-1.0, -np.pi / 4]), (N, 1))
+    ubs = np.tile(np.array([1.0, np.pi / 4]), (N, 1))
+    ubs[1:-1, 0] = 0.5  # tighter mid-horizon, same first/last stage
+    import dataclasses
+    bad = dataclasses.replace(ocp, control_bounds=mv.box_bounds(lbs, ubs))
+    with pytest.raises(ValueError):
+        make_barrier_solver(bad)
