@@ -2,6 +2,7 @@ from .integrators import (
     euler_step,
     rk4_step,
     rk4_step_with_quadrature,
+    rk45_step,
     discretize,
     c2d,
     DiscreteSimulator,

@@ -59,6 +59,82 @@ def rk4_step(f, dt: float, M: int = 1):
     return step
 
 
+_DOPRI_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DOPRI_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DOPRI_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+             187 / 2100, 1 / 40)
+
+
+def rk45_step(f, dt: float, rtol: float = 1e-8, atol: float = 1e-10,
+              max_steps: int = 1000):
+    """Adaptive embedded Dormand-Prince RK5(4) over one ``dt`` interval.
+
+    The reference's plant simulator delegates to CasADi's adaptive
+    integrators (``mpc.DiscreteSimulator`` — CVODES); this is the jittable
+    TPU-native equivalent: a tolerance-controlled embedded pair with a PI
+    step controller inside a bounded ``lax.while_loop``.  Use it when the
+    plant must be integrated to a *tolerance* rather than a step count
+    (plant/controller fidelity contrast, stiff-ish LTV models); use
+    ``rk4_step`` for the fixed-cost controller path.
+
+    Returns ``step(x, u, p=None) -> x(dt)``.  Shape-static and vmappable:
+    under ``vmap`` the batch runs lockstep until every member's interval is
+    done.  ``max_steps`` bounds the substep count; on exhaustion the current
+    (partially advanced) state is returned, matching the bounded-iteration
+    semantics of the solvers.
+    """
+    dtf = float(dt)
+
+    def step(x, u, p=None):
+        dtype = jnp.result_type(x.dtype, jnp.result_type(float))
+        x = jnp.asarray(x, dtype)
+
+        def rhs(y):
+            return jnp.asarray(f(y, u, p), dtype)
+
+        def body(carry):
+            t, y, h, k1, n = carry
+            h = jnp.minimum(h, dtf - t)
+            ks = [k1]
+            for i in range(1, 7):
+                yi = y + h * sum(a * k for a, k in zip(_DOPRI_A[i], ks))
+                ks.append(rhs(yi))
+            y5 = y + h * sum(b * k for b, k in zip(_DOPRI_B5, ks))
+            y4 = y + h * sum(b * k for b, k in zip(_DOPRI_B4, ks))
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+            err = jnp.sqrt(jnp.mean(((y5 - y4) / scale) ** 2))
+            accept = err <= 1.0
+            # PI-ish controller with the usual safety/clamp factors
+            fac = jnp.clip(0.9 * (err + 1e-16) ** (-0.2), 0.2, 5.0)
+            h_n = h * fac
+            t_n = jnp.where(accept, t + h, t)
+            y_n = jnp.where(accept, y5, y)
+            # FSAL: stage 7 of an accepted step is k1 of the next
+            k1_n = jnp.where(accept, ks[6], k1)
+            return (t_n, y_n, h_n, k1_n, n + 1)
+
+        def cond(carry):
+            t, y, h, k1, n = carry
+            return (t < dtf * (1.0 - 1e-12)) & (n < max_steps)
+
+        k10 = rhs(x)
+        t, y, h, k1, n = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), dtype), x, jnp.asarray(dtf, dtype), k10,
+             jnp.zeros((), jnp.int32)))
+        return y
+
+    return step
+
+
 def rk4_step_with_quadrature(f, l, dt: float, M: int = 1):
     """RK4 integrating state and running-cost quadrature jointly.
 
@@ -126,11 +202,18 @@ class DiscreteSimulator:
     remaining jittable (``.sim`` can sit inside a ``lax.scan``).
     """
 
-    def __init__(self, ode, dt: float, sizes=None, names=None, M: int = 10):
+    def __init__(self, ode, dt: float, sizes=None, names=None, M: int = 10,
+                 method: str = "rk4", rtol: float = 1e-8, atol: float = 1e-10):
         f = ode.f if hasattr(ode, "f") else ode
         self.dt = float(dt)
         self.M = int(M)
-        self._step = rk4_step(f, self.dt, M=self.M)
+        if method == "rk4":
+            self._step = rk4_step(f, self.dt, M=self.M)
+        elif method == "rk45":
+            # tolerance-adaptive plant integration (the CVODES role)
+            self._step = rk45_step(f, self.dt, rtol=rtol, atol=atol)
+        else:
+            raise ValueError(f"unknown DiscreteSimulator method {method!r}")
 
     def sim(self, x, u, p=None):
         return self._step(jnp.asarray(x), jnp.asarray(u), None if p is None else jnp.asarray(p))

@@ -1,5 +1,6 @@
 """Integrator/discretization unit tests (SURVEY.md §4: validate dynamics
 against analytic/scipy solutions)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
@@ -64,3 +65,60 @@ def test_discrete_simulator_substep_accuracy():
         lambda t, x: np.array([u[0] * np.cos(x[2]), u[0] * np.sin(x[2]), u[1]]),
         (0, 0.2), x0, rtol=1e-12, atol=1e-12)
     assert np.allclose(got, sol.y[:, -1], atol=1e-10)
+
+
+def test_rk45_matches_scipy_solve_ivp():
+    # adaptive embedded RK5(4) vs scipy's RK45 at matching tolerances on the
+    # unicycle (smooth) over a long-ish interval where fixed RK4(M=1) drifts
+    from scipy.integrate import solve_ivp
+
+    from mpc_verde_tpu.models import unicycle
+    from mpc_verde_tpu.ops import rk4_step, rk45_step
+
+    u = jnp.array([0.9, 0.7])
+    x0 = jnp.array([0.1, -0.2, 0.3])
+    dt = 2.5
+
+    def np_rhs(t, y):
+        return np.asarray(unicycle.f(jnp.asarray(y), u, None))
+
+    ref = solve_ivp(np_rhs, (0.0, dt), np.asarray(x0), method="RK45",
+                    rtol=1e-10, atol=1e-12).y[:, -1]
+    ada = rk45_step(unicycle.f, dt, rtol=1e-9, atol=1e-11)(x0, u)
+    assert np.abs(np.asarray(ada) - ref).max() < 1e-7
+    # and it must beat single-step RK4 over this interval
+    fixed = rk4_step(unicycle.f, dt, M=1)(x0, u)
+    assert (np.abs(np.asarray(ada) - ref).max()
+            < np.abs(np.asarray(fixed) - ref).max() / 10)
+
+
+def test_rk45_is_jittable_and_vmappable():
+    from mpc_verde_tpu.models import unicycle
+    from mpc_verde_tpu.ops import rk45_step
+
+    step = jax.jit(jax.vmap(rk45_step(unicycle.f, 0.5), in_axes=(0, 0)))
+    B = 7
+    rng = np.random.default_rng(2)
+    xs = jnp.array(rng.normal(size=(B, 3)))
+    us = jnp.array(rng.uniform(-1, 1, (B, 2)))
+    out = step(xs, us)
+    assert out.shape == (B, 3)
+    # batch results equal per-item results (lockstep adaptation is per-member)
+    one = rk45_step(unicycle.f, 0.5)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(out[b]),
+                                   np.asarray(one(xs[b], us[b])),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_discrete_simulator_rk45_method():
+    from mpc_verde_tpu.models import unicycle
+    from mpc_verde_tpu.ops import DiscreteSimulator
+
+    sim4 = DiscreteSimulator(unicycle.f, 0.2, M=50)
+    sim45 = DiscreteSimulator(unicycle.f, 0.2, method="rk45",
+                              rtol=1e-10, atol=1e-12)
+    x = jnp.array([0.0, 0.0, 0.4])
+    u = jnp.array([1.0, -0.5])
+    np.testing.assert_allclose(np.asarray(sim45.sim(x, u)),
+                               np.asarray(sim4.sim(x, u)), atol=1e-8)
