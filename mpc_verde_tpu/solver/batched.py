@@ -225,6 +225,58 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
                   linesearch=ls)
 
 
+def _al_cvals(ocp: OCP):
+    """Signed state-box constraint values; c(x) > 0 means violated."""
+    x_low, x_high = ocp.state_box()
+
+    def cvals(x):
+        lo = jnp.where(jnp.isfinite(x_low), x_low - x, -jnp.inf)
+        hi = jnp.where(jnp.isfinite(x_high), x - x_high, -jnp.inf)
+        return jnp.concatenate([lo, hi])
+
+    return cvals
+
+
+def _augment_ocp_al(ocp: OCP) -> OCP:
+    """Rewrite a state-bounded OCP so AL multipliers ride the param tensor.
+
+    The augmented problem has ``npar_aug = npar + 2*nx + 1`` per-stage
+    parameters laid out ``[p, lam (2*nx), mu]`` and NO state bounds; its
+    stage/terminal costs add the PHR augmented-Lagrangian penalty of
+    ``solver/ilqr.py`` (same semantics, same multiplier update).  Because the
+    multipliers are *data*, every fast-path part — the vmapped XLA pieces and
+    both Pallas kernels — works on the augmented problem unchanged; the AL
+    outer loop just rewrites the lam/mu columns between inner solves.
+    """
+    npar = max(ocp.npar, 1)
+    nlam = 2 * ocp.nx
+    cvals = _al_cvals(ocp)
+    l = ocp.stage_cost
+    lf = ocp.terminal_cost or (lambda x, p: jnp.zeros((), dtype=x.dtype))
+    F = ocp.dynamics
+    cb = ocp.control_bounds
+
+    def penalty(x, lam, mu):
+        c = cvals(x)
+        c = jnp.where(jnp.isfinite(c), c, -1.0)  # inactive rows
+        t = jnp.maximum(0.0, lam + mu * c)
+        return (jnp.sum(t * t) - jnp.sum(lam * lam)) / (2.0 * mu)
+
+    def sc(x, u, p):
+        return l(x, u, p[:npar]) + penalty(x, p[npar:npar + nlam], p[-1])
+
+    def tc(x, p):
+        return lf(x, p[:npar]) + penalty(x, p[npar:npar + nlam], p[-1])
+
+    def dyn(x, u, p):
+        return F(x, u, p[:npar])
+
+    cb_aug = None if cb is None else (lambda x, p, k: cb(x, p[:npar], k))
+    return dataclasses.replace(
+        ocp, dynamics=dyn, stage_cost=sc, terminal_cost=tc,
+        control_bounds=cb_aug, npar=npar + nlam + 1, x_lb=None, x_ub=None)
+
+
 def _broadcast_params(ocp: OCP, ps, B, dt_f):
     """Normalize a params argument to (B, N+1, npar)."""
     N = ocp.N
@@ -325,26 +377,32 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         solves/s at B=2048) because the iteration body is bound by
         sequential scan-step latency, not bandwidth.  Kept for ablation and
         for bandwidth-bound shapes (large nx, very wide batch).
+
+    State box bounds (``ocp.x_lb``/``x_ub``) run the same augmented-
+    Lagrangian outer loop as ``make_ilqr_solver`` (``options.al_iters``
+    PHR rounds), with the multipliers flowing through the per-stage param
+    tensor so every inner round is the unmodified fast path (Pallas kernels
+    included); see ``_augment_ocp_al``.
     """
-    if ocp.has_state_bounds:
-        raise NotImplementedError(
-            "batched fast path has no AL state bounds; use make_ilqr_solver")
     if ocp.nu > 2 and backend.startswith("pallas"):
         raise NotImplementedError("pallas backward supports nu <= 2")
 
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
     opt = options
+    has_xb = ocp.has_state_bounds
+    al_iters = opt.al_iters if has_xb else 0
+    if has_xb and al_iters == 0:
+        raise ValueError(
+            "batched solver with state bounds needs options.al_iters >= 1")
+    ocp_in = ocp
+    if has_xb:
+        cvals = _al_cvals(ocp)
+        ocp = _augment_ocp_al(ocp)
+        nlam = 2 * nx
     parts = _make_parts(ocp, opt, backend, linesearch)
 
-    def solve(x0s, params=None, us_init=None):
-        dt_f = jnp.result_type(float)
-        x0s = jnp.asarray(x0s, dtype=dt_f)
-        B = x0s.shape[0]
-        ps = _broadcast_params(ocp, params, B, dt_f)
-        if us_init is None:
-            us_init = jnp.zeros((B, N, nu), dtype=dt_f)
-        us_init = jnp.asarray(us_init, dtype=dt_f)
-
+    def _inner(x0s, ps, us_init):
+        """One full batched DDP solve at fixed multipliers (the round-1 loop)."""
         xs0, us0, cost0 = parts.rollout(x0s, us_init, ps)
 
         def cond(carry):
@@ -366,6 +424,7 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             return _accept_and_update(opt, carry, gmax, xs_b, us_b, new_cost)
 
         B_ = x0s.shape[0]
+        dt_f = cost0.dtype
         reg0 = jnp.full((B_,), opt.reg_init, dtype=dt_f)
         carry0 = (xs0, us0, cost0, reg0,
                   jnp.zeros((B_,), jnp.int32), jnp.zeros((B_,), bool),
@@ -374,11 +433,57 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                   jnp.full((B_,), bool(opt.use_ddp)))
         xs, us, cost, reg, it, done, gnorm, _, fail, _ = jax.lax.while_loop(
             cond, body, carry0)
+        return xs, us, cost, it, gnorm, done, fail
 
+    def solve(x0s, params=None, us_init=None):
+        dt_f = jnp.result_type(float)
+        x0s = jnp.asarray(x0s, dtype=dt_f)
+        B = x0s.shape[0]
+        ps = _broadcast_params(ocp_in, params, B, dt_f)
+        if us_init is None:
+            us_init = jnp.zeros((B, N, nu), dtype=dt_f)
+        us_init = jnp.asarray(us_init, dtype=dt_f)
+
+        if not has_xb:
+            xs, us, cost, it, gnorm, done, fail = _inner(x0s, ps, us_init)
+            return ILQRResult(
+                xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
+                converged=done & ~fail & jnp.isfinite(cost),
+                max_violation=jnp.zeros((B,), dt_f))
+
+        l, lf = ocp_in.stage_cost, ocp_in.terminal_cost
+        lfv = lf or (lambda x, p: jnp.zeros((), dtype=x.dtype))
+
+        def al_round(carry, _):
+            us_c, lam, mu = carry
+            ps_aug = jnp.concatenate(
+                [ps, lam, jnp.broadcast_to(mu[:, None, None], (B, N + 1, 1))],
+                axis=-1)
+            xs, us_n, cost, it, gnorm, done, fail = _inner(x0s, ps_aug, us_c)
+            c = jax.vmap(jax.vmap(cvals))(xs)           # (B, N+1, 2nx)
+            c = jnp.where(jnp.isfinite(c), c, -1.0)
+            lam_n = jnp.maximum(0.0, lam + mu[:, None, None] * c)
+            ok = done & ~fail & jnp.isfinite(cost)
+            return (us_n, lam_n, mu * opt.al_mu_factor), (xs, it, gnorm, ok)
+
+        vz = jnp.sum(x0s) * 0.0
+        lam0 = jnp.zeros((B, N + 1, 2 * nx), dtype=dt_f) + vz
+        mu0 = jnp.full((B,), opt.al_mu0, dtype=dt_f) + vz
+        (us, _, _), (xss, its, gnorms, oks) = jax.lax.scan(
+            al_round, (us_init, lam0, mu0), None, length=al_iters)
+        xs = xss[-1]
+
+        def traj_cost(xs_1, us_1, ps_1):
+            cs = jax.vmap(l)(xs_1[:N], us_1, ps_1[:N])
+            return jnp.sum(cs) + lfv(xs_1[N], ps_1[N])
+
+        cost = jax.vmap(traj_cost)(xs, us, ps)
+        cv = jax.vmap(jax.vmap(cvals))(xs)
+        viol = jnp.max(jnp.maximum(
+            0.0, jnp.where(jnp.isfinite(cv), cv, 0.0)), axis=(1, 2))
         return ILQRResult(
-            xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
-            converged=done & ~fail & jnp.isfinite(cost),
-            max_violation=jnp.zeros((B_,), dt_f))
+            xs=xs, us=us, cost=cost, grad_norm=gnorms[-1],
+            iterations=its[-1], converged=oks[-1], max_violation=viol)
 
     return solve
 

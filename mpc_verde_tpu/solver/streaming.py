@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from ..ocp.spec import OCP
 from .ilqr import ILQROptions, ILQRResult
-from .batched import _make_parts, _accept_and_update, _broadcast_params
+from .batched import (_make_parts, _accept_and_update, _broadcast_params,
+                      _al_cvals, _augment_ocp_al)
 
 
 def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
@@ -67,23 +68,41 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     docs/design.md straggler study).  Restart iterations count toward the
     reported per-problem ``iterations``.
     """
-    if ocp.has_state_bounds:
-        raise NotImplementedError(
-            "streaming fast path has no AL state bounds; use make_ilqr_solver")
     if ocp.nu > 2 and backend.startswith("pallas"):
         raise NotImplementedError("pallas backward supports nu <= 2")
 
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
     opt = options
     B = int(batch_width)
+    # State box bounds: the same PHR augmented-Lagrangian outer loop as
+    # make_ilqr_solver, with the multipliers riding the per-slot param tensor
+    # (see batched._augment_ocp_al).  A slot that finishes an inner round at
+    # al_round < al_iters-1 updates its lam/mu columns in place and restarts
+    # fresh — the AL outer loop IS the refill machinery, so state-bounded
+    # problems stream at full speed instead of falling back to vmap.
+    has_xb = ocp.has_state_bounds
+    al_iters = opt.al_iters if has_xb else 0
+    if has_xb and al_iters == 0:
+        raise ValueError(
+            "streaming solver with state bounds needs options.al_iters >= 1")
+    ocp_in = ocp
+    npar = max(ocp_in.npar, 1)
+    if has_xb:
+        cvals = _al_cvals(ocp)
+        ocp = _augment_ocp_al(ocp)
+        nlam = 2 * nx
     parts = _make_parts(ocp, opt, backend, linesearch)
-    npar = max(ocp.npar, 1)
 
     def solve(x0q, params=None, us_init=None):
         dt_f = jnp.result_type(float)
         x0q = jnp.asarray(x0q, dtype=dt_f)
         M = x0q.shape[0]
-        psq = _broadcast_params(ocp, params, M, dt_f)
+        psq = _broadcast_params(ocp_in, params, M, dt_f)
+        if has_xb:
+            # extend every queue entry with fresh multipliers [lam=0, mu=mu0]
+            psq = jnp.concatenate([
+                psq, jnp.zeros((M, N + 1, nlam), dt_f),
+                jnp.full((M, N + 1, 1), opt.al_mu0, dt_f)], axis=-1)
         if us_init is None:
             us_init = jnp.zeros((M, N, nu), dtype=dt_f)
         us0q = jnp.asarray(us_init, dtype=dt_f)
@@ -130,6 +149,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             jnp.zeros((B,), jnp.int32),              # restarts used
             jnp.zeros((B,), jnp.int32),              # iterations before restart
             jnp.asarray(n0, jnp.int32),              # queue pointer
+            jnp.zeros((B,), jnp.int32),              # AL round (0 if no bounds)
         )
         # output buffers; row M is the dummy target for idle-slot writes
         out0 = (
@@ -151,7 +171,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         def body(carry):
             state, book, out = carry
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = state
-            x0s, ps, prob, fresh_in, capped, rst, iacc, nq = book
+            x0s, ps, prob, fresh_in, capped, rst, iacc, nq, alr = book
             o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
 
             # --- scatter finished problems, refill their slots ------------
@@ -189,6 +209,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             prob = jnp.where(has, cand, jnp.where(fin, M, prob))
             rst = jnp.where(has, 0, rst)
             iacc = jnp.where(has, 0, iacc)
+            alr = jnp.where(has, 0, alr)
             nq = (nq + jnp.sum(has.astype(jnp.int32))).astype(jnp.int32)
             fresh = fresh_in | has
 
@@ -239,16 +260,63 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             done = done | newly_capped
             capped = capped | newly_capped
 
+            if has_xb:
+                # AL outer loop in place: a slot whose inner round ended
+                # (converged, failed, or budget-capped — matching the
+                # unconditional al_round scan of make_ilqr_solver) at
+                # al_round < al_iters-1 updates its multiplier columns from
+                # the current iterate and restarts the inner solve fresh.
+                adv = done & (prob < M) & (alr < al_iters - 1)
+                c = jax.vmap(jax.vmap(cvals))(xs)        # (B, N+1, 2nx)
+                c = jnp.where(jnp.isfinite(c), c, -1.0)
+                lam = ps[:, :, npar:npar + nlam]
+                mu = ps[:, :, npar + nlam:]
+                lam_n = jnp.maximum(0.0, lam + mu * c)
+                ps_n = jnp.concatenate(
+                    [ps[:, :, :npar], lam_n, mu * opt.al_mu_factor], axis=-1)
+                a3 = adv.reshape((B, 1, 1))
+                ps = jnp.where(a3, ps_n, ps)
+                alr = alr + adv.astype(jnp.int32)
+                iacc = jnp.where(adv, iacc + jnp.maximum(it, 0), iacc)
+                cost = jnp.where(adv, inf, cost)
+                reg = jnp.where(adv, jnp.asarray(opt.reg_init, dt_f), reg)
+                it = jnp.where(adv, -1, it)
+                stall = jnp.where(adv, 0, stall)
+                gnorm = jnp.where(adv, inf, gnorm)
+                fail = jnp.where(adv, False, fail)
+                ddp_on = jnp.where(adv, bool(opt.use_ddp), ddp_on)
+                capped = jnp.where(adv, False, capped)
+                done = done & ~adv
+                fresh_next = fresh_next | adv
+
             state = (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on)
-            book = (x0s, ps, prob, fresh_next, capped, rst, iacc, nq)
+            book = (x0s, ps, prob, fresh_next, capped, rst, iacc, nq, alr)
             out = (o_xs, o_us, o_cost, o_gnorm, o_it, o_conv)
             return (state, book, out)
 
         _, _, out = jax.lax.while_loop(cond, body, (state0, book0, out0))
         o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
+        xs_q, us_q, cost_q = o_xs[:M], o_us[:M], o_cost[:M]
+        viol_q = jnp.zeros((M,), dt_f)
+        if has_xb:
+            # the loop's cost is the augmented one at the final multipliers;
+            # report the true cost and the state-box violation instead (one
+            # fused pass over the finished queue — negligible vs the solve)
+            l = ocp_in.stage_cost
+            lf = ocp_in.terminal_cost or (
+                lambda x, p: jnp.zeros((), dtype=x.dtype))
+
+            def traj_cost(xs_1, us_1, ps_1):
+                cs = jax.vmap(l)(xs_1[:N], us_1, ps_1[:N, :npar])
+                return jnp.sum(cs) + lf(xs_1[N], ps_1[N, :npar])
+
+            cost_q = jax.vmap(traj_cost)(xs_q, us_q, psq)
+            cv = jax.vmap(jax.vmap(cvals))(xs_q)
+            viol_q = jnp.max(jnp.maximum(
+                0.0, jnp.where(jnp.isfinite(cv), cv, 0.0)), axis=(1, 2))
         return ILQRResult(
-            xs=o_xs[:M], us=o_us[:M], cost=o_cost[:M], grad_norm=o_gnorm[:M],
+            xs=xs_q, us=us_q, cost=cost_q, grad_norm=o_gnorm[:M],
             iterations=o_it[:M], converged=o_conv[:M],
-            max_violation=jnp.zeros((M,), dt_f))
+            max_violation=viol_q)
 
     return solve

@@ -131,3 +131,55 @@ def test_drained_solver_noop_when_all_converge():
                                   backend="xla", quorum=0.99)
     r = solve_d(x0s, params, jnp.zeros((B, N, 2), jnp.float32))
     assert bool(r.converged.all())
+
+
+def _ocp_xbounds():
+    """Circular-tracking-style problem: unicycle with a y state box."""
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 1.0, 0.1]))
+    R = jnp.diag(jnp.array([0.1, 0.1]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    return mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                  N=N, nx=3, nu=2, npar=3,
+                  control_bounds=mv.box_bounds(
+                      jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])),
+                  x_lb=jnp.array([-20.0, -0.4, -np.inf]),
+                  x_ub=jnp.array([20.0, 0.4, np.inf]))
+
+
+def test_batched_al_state_bounds_matches_vmap():
+    """Batched AL fast path == per-problem AL solver on a state-bounded OCP."""
+    ocp = _ocp_xbounds()
+    opts = mv.ILQROptions(max_iters=60, al_iters=3)
+    B = 8
+    rng = np.random.default_rng(3)
+    x0s = jnp.array(rng.uniform(-0.3, 0.3, (B, 3)))
+    # target beyond the y box: the bound must become active
+    params = jnp.broadcast_to(jnp.array([2.0, 1.5, 0.0]), (B, N + 1, 3))
+    us0 = jnp.zeros((B, N, 2))
+
+    rb = jax.jit(make_batched_ilqr_solver(ocp, opts, backend="xla"))(
+        x0s, params, us0)
+    rv = jax.jit(jax.vmap(mv.make_ilqr_solver(ocp, opts)))(x0s, params, us0)
+
+    assert bool(rb.converged.all()) and bool(rv.converged.all())
+    # the y bound is genuinely active (trajectory pushes into it) ...
+    assert float(np.array(rb.xs)[:, :, 1].max()) > 0.35
+    # ... and respected to AL tolerance
+    assert float(rb.max_violation.max()) < 1e-2
+    assert np.allclose(np.array(rb.cost), np.array(rv.cost), rtol=1e-5)
+    assert np.abs(np.array(rb.us) - np.array(rv.us)).max() < 1e-4
+    assert np.allclose(np.array(rb.max_violation),
+                       np.array(rv.max_violation), atol=1e-6)
+
+
+def test_batched_al_requires_al_iters():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_batched_ilqr_solver(_ocp_xbounds(), mv.ILQROptions(al_iters=0),
+                                 backend="xla")

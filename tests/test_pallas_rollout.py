@@ -138,3 +138,33 @@ def test_full_pallas_solver_matches_xla_backend():
     assert np.allclose(np.array(r_p.cost), np.array(r_x.cost), rtol=1e-3)
     assert bool(jnp.all(r_p.converged))
     assert np.allclose(np.array(r_p.us), np.array(r_x.us), atol=2e-2)
+
+
+def test_full_pallas_solver_al_state_bounds():
+    """backend="pallas" on a state-bounded OCP: the AL multipliers ride the
+    param tensor straight through both kernels (interpret mode)."""
+    F, l, lf, cb = _problem()
+    ocp = mv.OCP(dynamics=F, stage_cost=l, terminal_cost=lf,
+                 N=N, nx=NX, nu=NU, npar=NPAR, control_bounds=cb,
+                 x_lb=jnp.array([-20.0, -0.6, -np.inf]),
+                 x_ub=jnp.array([20.0, 0.6, np.inf]))
+    opts = mv.ILQROptions(max_iters=25, tol_grad=1e-4, tol_cost=1e-7,
+                          n_alphas=6, alpha_decay=0.4, al_iters=2)
+
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, NX)), jnp.float32)
+    ps = jnp.broadcast_to(
+        jnp.array([2.0, 2.0, 0.0], jnp.float32), (B, N + 1, NPAR))
+    us0 = jnp.zeros((B, N, NU), jnp.float32)
+
+    r_x = make_batched_ilqr_solver(ocp, opts, backend="xla")(x0s, ps, us0)
+    with pltpu.force_tpu_interpret_mode():
+        r_p = make_batched_ilqr_solver(ocp, opts, backend="pallas")(
+            x0s, ps, us0)
+
+    assert bool(jnp.all(r_p.converged))
+    # the y box is active and enforced
+    assert float(jnp.max(jnp.abs(r_p.xs[:, :, 1]))) <= 0.6 + 1e-2
+    assert np.allclose(np.array(r_p.cost), np.array(r_x.cost), rtol=1e-3)
+    assert np.allclose(np.array(r_p.max_violation),
+                       np.array(r_x.max_violation), atol=1e-3)

@@ -190,3 +190,55 @@ def test_streaming_isolates_nonfinite_queue_entries():
     assert not conv[2]
     assert conv[[0, 1, 3, 4, 5]].all()
     assert np.isfinite(np.array(rs.cost)[[0, 1, 3, 4, 5]]).all()
+
+
+def _ocp_xbounds():
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 1.0, 0.1]))
+    R = jnp.diag(jnp.array([0.1, 0.1]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    return mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                  N=N, nx=3, nu=2, npar=3,
+                  control_bounds=mv.box_bounds(
+                      jnp.array([-1.0, -np.pi / 4]),
+                      jnp.array([1.0, np.pi / 4])),
+                  x_lb=jnp.array([-20.0, -0.4, -np.inf]),
+                  x_ub=jnp.array([20.0, 0.4, np.inf]))
+
+
+def test_streaming_al_state_bounds_matches_vmap_solver():
+    """Streaming AL (multipliers in the slot param tensor, rounds as in-place
+    restarts) == the per-problem AL solver, through multiple refill
+    generations."""
+    ocp = _ocp_xbounds()
+    opts = mv.ILQROptions(max_iters=60, al_iters=3)
+    M = 12
+    rng = np.random.default_rng(7)
+    x0s = jnp.array(rng.uniform(-0.3, 0.3, (M, 3)))
+    params = jnp.broadcast_to(jnp.array([2.0, 1.5, 0.0]), (M, N + 1, 3))
+    us0 = jnp.zeros((M, N, 2))
+
+    rs = jax.jit(make_streaming_solver(ocp, opts, backend="xla",
+                                       batch_width=5))(x0s, params, us0)
+    rv = jax.jit(jax.vmap(mv.make_ilqr_solver(ocp, opts)))(x0s, params, us0)
+
+    assert bool(rs.converged.all()) and bool(rv.converged.all())
+    # bound genuinely active and respected
+    assert float(np.array(rs.xs)[:, :, 1].max()) > 0.35
+    assert float(rs.max_violation.max()) < 1e-2
+    assert np.allclose(np.array(rs.cost), np.array(rv.cost), rtol=1e-5)
+    assert np.abs(np.array(rs.us) - np.array(rv.us)).max() < 1e-4
+    assert np.allclose(np.array(rs.max_violation),
+                       np.array(rv.max_violation), atol=1e-6)
+
+
+def test_streaming_al_requires_al_iters():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_streaming_solver(_ocp_xbounds(), mv.ILQROptions(al_iters=0),
+                              backend="xla")
