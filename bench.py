@@ -185,6 +185,35 @@ def main():
         btimes.append(time.time() - t0)
     dtb = min(btimes)
 
+    # closed-loop fleet simulation: the reference's headline workload — the
+    # 84-step receding-horizon diff-drive run of Casadi/single_shooting_v1.py
+    # (N=10, T=0.2, Euler plant shift :17-27) — batched over Bc plants, the
+    # whole simulation one compiled scan (solve -> apply -> plant -> shift)
+    from mpc_verde_tpu.models import unicycle
+    from mpc_verde_tpu.ops import euler_step
+    from mpc_verde_tpu.runtime import make_batched_receding_horizon
+
+    Bc, Nsim, Ncl = (min(1024, args.batch), 84, 10)
+    ocp_cl = build_ocp(Ncl)
+    plant = euler_step(unicycle.f, 0.2)
+    cl_opts = dataclasses.replace(opts, max_iters=20)
+    run_cl = jax.jit(make_batched_receding_horizon(
+        ocp_cl, make_batched_ilqr_solver(ocp_cl, cl_opts, backend=kern),
+        lambda x, u, pp: plant(x, u, None), Nsim))
+    x0c = jnp.zeros((Bc, 3), jnp.float32)
+    psc = jnp.broadcast_to(target, (Nsim, Ncl + 1, 3)).astype(jnp.float32)
+    rc = run_cl(x0c, psc)
+    jax.block_until_ready(rc.us)
+    ctimes = []
+    for r in range(args.reps):
+        xr = x0c + jnp.float32(0.001 * (r + 1))
+        t0 = time.time()
+        rc = run_cl(xr, psc)
+        jax.block_until_ready(rc.us)
+        ctimes.append(time.time() - t0)
+    dtc = min(ctimes)
+    err = jnp.linalg.norm(rc.xs[-1, :, :2] - target[:2], axis=-1)
+
     per_chip_target = 10000.0 / 16.0  # BASELINE.json: >=10k on v5e-16
     out = {
         "metric": f"batched_mpc_solves_per_s_chip_N{N}",
@@ -209,6 +238,13 @@ def main():
         "batched_solves_per_s": round(Bb / dtb, 1),
         "batched_sync_ms": round(dtb * 1e3, 2),
         "batched_converged_frac": round(float(rb.converged.mean()), 4),
+        # closed-loop fleet: Bc plants x Nsim warm-started MPC steps
+        "closedloop_plants": Bc,
+        "closedloop_mpc_steps_per_s": round(Bc * Nsim / dtc, 1),
+        "closedloop_us_per_step_per_plant": round(dtc / Nsim / Bc * 1e6, 2),
+        # real-time margin: control period T=0.2 s vs on-device step time
+        "closedloop_realtime_factor": round(0.2 / (dtc / Nsim), 1),
+        "closedloop_final_err_max": round(float(err.max()), 4),
     }
     print(json.dumps(out))
 

@@ -106,3 +106,72 @@ def make_receding_horizon(
         )
 
     return run
+
+
+def make_batched_receding_horizon(
+    ocp: OCP,
+    solve_batch: Callable,
+    plant_step: Callable,
+    n_steps: int,
+):
+    """Batched closed-loop runner: B independent simulations in one scan.
+
+    Unlike ``jax.vmap(make_receding_horizon(...))`` — which vmaps the
+    *per-problem* solver — this drives a batch-major solver
+    (``solver.batched.make_batched_ilqr_solver``) directly, so each control
+    step's solve runs the Pallas fast path with the whole simulation batch
+    filling the VPU lanes.  This is the deployment shape for fleet
+    simulation / scenario sweeps: the serial per-step loop of
+    ``Casadi/single_shooting_v1.py:164-214`` becomes one compiled scan over
+    steps x thousands of plants.
+
+    Args:
+      solve_batch: ``(x0s (B,nx), params (B,N+1,npar), us (B,N,nu)) ->
+        ILQRResult`` with leading batch axes.
+      plant_step: single-problem ``(x, u, p_plant) -> x_next``; vmapped here.
+
+    Returns ``run(x0s, params_seq, plant_params, us_init) ->
+    ClosedLoopResult`` with a batch axis after the time axis: xs is
+    (Nsim+1, B, nx), us (Nsim, B, nu), costs/iterations/converged (Nsim, B).
+    ``params_seq`` is (Nsim, B, N+1, npar), or (Nsim, N+1, npar) shared
+    across the batch, or None; ``plant_params`` is (Nsim, ...) shared or
+    (Nsim, B, ...) per-plant.
+    """
+    N = ocp.N
+    plant_b = jax.vmap(plant_step, in_axes=(0, 0, None))
+
+    def run(x0s, params_seq=None, plant_params=None, us_init=None):
+        dt_f = jnp.result_type(float)
+        x0s = jnp.asarray(x0s, dtype=dt_f)
+        B = x0s.shape[0]
+        if us_init is None:
+            us_init = jnp.zeros((B, N, ocp.nu), dtype=dt_f)
+        npar = max(ocp.npar, 1)
+        if params_seq is None:
+            params_seq = jnp.zeros((n_steps, B, N + 1, npar), dtype=dt_f)
+        else:
+            params_seq = jnp.asarray(params_seq, dtype=dt_f)
+            if params_seq.ndim == 3:   # (Nsim, N+1, npar) shared across batch
+                params_seq = jnp.broadcast_to(
+                    params_seq[:, None], (n_steps, B, N + 1, npar))
+        if plant_params is None:
+            plant_params = jnp.zeros((n_steps, 1), dtype=dt_f)
+
+        def step(carry, inp):
+            xs_t, warm = carry
+            params_t, pp_t = inp
+            res = solve_batch(xs_t, params_t, warm)
+            u0 = res.us[:, 0]
+            x_next = plant_b(xs_t, u0, pp_t)
+            warm_n = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+            return (x_next, warm_n), (xs_t, u0, res.cost, res.iterations,
+                                      res.converged)
+
+        (xN, warmN), (xs, us, costs, iters, conv) = jax.lax.scan(
+            step, (x0s, jnp.asarray(us_init, dtype=dt_f)),
+            (params_seq, plant_params))
+        xs = jnp.concatenate([xs, xN[None]], axis=0)
+        return ClosedLoopResult(xs=xs, us=us, costs=costs, iterations=iters,
+                                converged=conv, final_warm=warmN)
+
+    return run

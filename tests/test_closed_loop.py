@@ -51,3 +51,49 @@ def test_diffdrive_point_stabilization_closed_loop():
     us = np.array(res.us)
     assert us[:, 0].max() <= 1.0 + 1e-6 and us[:, 0].min() >= -1.0 - 1e-6
     assert np.abs(us[:, 1]).max() <= np.pi / 4 + 1e-6
+
+
+def test_batched_closed_loop_matches_vmapped():
+    """make_batched_receding_horizon (batch-major solver in the scan body)
+    == vmap of the per-problem closed loop."""
+    from mpc_verde_tpu.runtime import make_batched_receding_horizon
+    from mpc_verde_tpu.solver.batched import make_batched_ilqr_solver
+
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    Nh = 8
+    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                 N=Nh, nx=3, nu=2, npar=3,
+                 control_bounds=mv.box_bounds(
+                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
+    opts = mv.ILQROptions(max_iters=40)
+    plant = euler_step(unicycle.f, T)
+    Nsim, B = 12, 4
+    rng = np.random.default_rng(2)
+    x0s = jnp.array(rng.uniform(-1, 1, (B, 3)))
+    params_seq = jnp.broadcast_to(jnp.array(TARGET), (Nsim, Nh + 1, 3))
+
+    run_b = jax.jit(make_batched_receding_horizon(
+        ocp, make_batched_ilqr_solver(ocp, opts, backend="xla"),
+        lambda x, u, pp: plant(x, u, None), Nsim))
+    res_b = run_b(x0s, params_seq)
+
+    solve1 = mv.make_ilqr_solver(ocp, opts)
+    run_1 = jax.jit(jax.vmap(
+        make_receding_horizon(ocp, solve1,
+                              lambda x, u, pp: plant(x, u, None), Nsim),
+        in_axes=(0, None)))
+    res_v = run_1(x0s, params_seq)
+
+    # batched layout is (Nsim, B, ...) vs vmapped (B, Nsim, ...)
+    assert np.allclose(np.array(res_b.xs), np.array(res_v.xs).swapaxes(0, 1),
+                       atol=1e-8)
+    assert np.allclose(np.array(res_b.us), np.array(res_v.us).swapaxes(0, 1),
+                       atol=1e-8)
+    assert bool(res_b.converged.all())
