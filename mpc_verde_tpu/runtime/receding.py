@@ -113,6 +113,7 @@ def make_batched_receding_horizon(
     solve_batch: Callable,
     plant_step: Callable,
     n_steps: int,
+    plant_params_per_plant: bool = False,
 ):
     """Batched closed-loop runner: B independent simulations in one scan.
 
@@ -134,11 +135,17 @@ def make_batched_receding_horizon(
     ClosedLoopResult`` with a batch axis after the time axis: xs is
     (Nsim+1, B, nx), us (Nsim, B, nu), costs/iterations/converged (Nsim, B).
     ``params_seq`` is (Nsim, B, N+1, npar), or (Nsim, N+1, npar) shared
-    across the batch, or None; ``plant_params`` is (Nsim, ...) shared or
-    (Nsim, B, ...) per-plant.
+    across the batch, or None; ``plant_params`` is (Nsim, ...) shared across
+    the batch by default.  For *per-plant* plant parameters, pass
+    ``plant_params_per_plant=True`` and shape them (Nsim, B, ...) — the
+    per-step slice is then mapped over the batch axis alongside states and
+    controls (shapes can't disambiguate the two conventions, e.g. a shared
+    (Nsim, B) vector vs per-plant scalars, so the layout is an explicit
+    build-time flag).
     """
     N = ocp.N
-    plant_b = jax.vmap(plant_step, in_axes=(0, 0, None))
+    plant_b = jax.vmap(
+        plant_step, in_axes=(0, 0, 0 if plant_params_per_plant else None))
 
     def run(x0s, params_seq=None, plant_params=None, us_init=None):
         dt_f = jnp.result_type(float)
@@ -155,7 +162,8 @@ def make_batched_receding_horizon(
                 params_seq = jnp.broadcast_to(
                     params_seq[:, None], (n_steps, B, N + 1, npar))
         if plant_params is None:
-            plant_params = jnp.zeros((n_steps, 1), dtype=dt_f)
+            shape = (n_steps, B, 1) if plant_params_per_plant else (n_steps, 1)
+            plant_params = jnp.zeros(shape, dtype=dt_f)
 
         def step(carry, inp):
             xs_t, warm = carry

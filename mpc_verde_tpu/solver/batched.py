@@ -483,7 +483,8 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             0.0, jnp.where(jnp.isfinite(cv), cv, 0.0)), axis=(1, 2))
         return ILQRResult(
             xs=xs, us=us, cost=cost, grad_norm=gnorms[-1],
-            iterations=its[-1], converged=oks[-1], max_violation=viol)
+            iterations=jnp.sum(its, axis=0),  # total across AL rounds
+            converged=oks[-1], max_violation=viol)
 
     return solve
 

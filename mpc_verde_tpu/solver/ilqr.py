@@ -91,7 +91,10 @@ class ILQRResult(struct.PyTreeNode):
     cost: jnp.ndarray        # scalar final (unaugmented) cost
     grad_norm: jnp.ndarray   # projected-gradient norm at the last backward
                              # pass (one iterate behind the returned xs/us)
-    iterations: jnp.ndarray  # inner iterations used (last AL round)
+    iterations: jnp.ndarray  # total inner iterations, accumulated across
+                             # AL rounds (and in-place restarts for the
+                             # streaming solver) — same meaning in every
+                             # sibling solver
     converged: jnp.ndarray   # bool: tolerance/stationarity reached with a
                              # finite cost (False on divergence/NaN/reg-max)
     max_violation: jnp.ndarray  # state-bound violation (0 if no bounds);
@@ -392,7 +395,9 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             (us, lam, mu), (xss, costs, its, gnorms, dones) = jax.lax.scan(
                 al_round, (us_init, lam0, mu0), None, length=al_iters)
             xs = xss[-1]
-            cost, it, gnorm, done = costs[-1], its[-1], gnorms[-1], dones[-1]
+            # iterations accumulate across AL rounds (ILQRResult contract)
+            cost, it, gnorm, done = (costs[-1], jnp.sum(its, axis=0),
+                                     gnorms[-1], dones[-1])
             cviol = jax.vmap(_xviol)(xs)
             viol = jnp.max(jnp.maximum(0.0, jnp.where(jnp.isfinite(cviol), cviol, 0.0)))
 

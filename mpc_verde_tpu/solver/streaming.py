@@ -62,11 +62,13 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     ``restarts``: how many times a problem that exhausts its iteration
     budget is requeued *in place* — fresh solver state (regularization,
     stall counters, DDP mode), warm-started at its best iterate — before
-    being reported unconverged.  This is the drain-phase restart of
-    ``make_drained_solver`` without the extra dispatch: a restart was
-    measured to unstick virtually every budget-capped crawler (see
-    docs/design.md straggler study).  Restart iterations count toward the
-    reported per-problem ``iterations``.
+    being reported unconverged.  A restart was measured to unstick
+    virtually every budget-capped crawler (see docs/design.md straggler
+    study).  Restart iterations count toward the reported per-problem
+    ``iterations``.  With AL state bounds, the restart budget is *per AL
+    round*: a round that fails or caps re-solves at the current multipliers
+    (consuming that round's budget) before the multipliers advance, and the
+    next round starts with the full budget again.
     """
     if ocp.nu > 2 and backend.startswith("pallas"):
         raise NotImplementedError("pallas backward supports nu <= 2")
@@ -286,6 +288,10 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 fail = jnp.where(adv, False, fail)
                 ddp_on = jnp.where(adv, bool(opt.use_ddp), ddp_on)
                 capped = jnp.where(adv, False, capped)
+                # per-AL-round restart budget: each inner round gets the full
+                # `restarts` allowance (a failed/capped round consumes from
+                # its own round's budget before the multiplier advance)
+                rst = jnp.where(adv, 0, rst)
                 done = done & ~adv
                 fresh_next = fresh_next | adv
 

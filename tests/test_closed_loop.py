@@ -97,3 +97,51 @@ def test_batched_closed_loop_matches_vmapped():
     assert np.allclose(np.array(res_b.us), np.array(res_v.us).swapaxes(0, 1),
                        atol=1e-8)
     assert bool(res_b.converged.all())
+
+
+def test_batched_closed_loop_per_plant_params():
+    """plant_params_per_plant=True maps a (Nsim, B, ...) tensor over the
+    batch: each plant integrates with its own parameter (ADVICE r2 fix —
+    previously the whole per-step slice was broadcast to every plant)."""
+    from mpc_verde_tpu.runtime import make_batched_receding_horizon
+    from mpc_verde_tpu.solver.batched import make_batched_ilqr_solver
+
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    Nh = 6
+    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                 N=Nh, nx=3, nu=2, npar=3,
+                 control_bounds=mv.box_bounds(
+                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
+    opts = mv.ILQROptions(max_iters=25)
+    plant = euler_step(unicycle.f, T)
+
+    # per-plant gain scales the applied control before plant integration
+    def plant_step(x, u, gain):
+        return plant(x, gain * u, None)
+
+    Nsim, B = 6, 3
+    x0s = jnp.zeros((B, 3))
+    params_seq = jnp.broadcast_to(jnp.array(TARGET), (Nsim, Nh + 1, 3))
+    gains = jnp.broadcast_to(jnp.array([1.0, 0.5, 0.25]), (Nsim, B))
+
+    solve_b = make_batched_ilqr_solver(ocp, opts, backend="xla")
+    run_pp = jax.jit(make_batched_receding_horizon(
+        ocp, solve_b, plant_step, Nsim, plant_params_per_plant=True))
+    res = run_pp(x0s, params_seq, gains)
+
+    # each plant must match a solo run with its own (scalar, shared) gain
+    run_1 = jax.jit(make_batched_receding_horizon(
+        ocp, solve_b, plant_step, Nsim))
+    for b, g in enumerate([1.0, 0.5, 0.25]):
+        solo = run_1(x0s[b:b + 1], params_seq, jnp.full((Nsim,), g))
+        assert np.allclose(np.array(res.xs[:, b]), np.array(solo.xs[:, 0]),
+                           atol=1e-8), f"plant {b} diverged from solo run"
+    # and the gains genuinely differ -> trajectories differ across plants
+    assert not np.allclose(np.array(res.xs[:, 0]), np.array(res.xs[:, 1]))
