@@ -12,11 +12,12 @@ restructures it TPU-natively:
     value function (Vx, Vxx) lives in VMEM scratch carried across the stage
     iterations while Pallas double-buffers each stage's derivative block from
     HBM. One kernel launch replaces the whole lax.scan.
-  * **Exact stage box QP by static active-set enumeration**: for nu <= 2 each
+  * **Exact stage box QP by static active-set enumeration**: for nu <= 4 each
     of the 3^nu patterns has *static* structure (which coordinates are
-    clamped), so every candidate is closed-form tile arithmetic and the
-    feasible-minimum is a chain of selects — branch-free, exactly the
-    enumeration of ``solver/boxqp.py``.
+    clamped), so every candidate is closed-form tile arithmetic (division /
+    2x2 adjugate for <= 2 free coordinates, unrolled no-pivot Gaussian
+    elimination for 3-4) and the feasible-minimum is a chain of selects —
+    branch-free, exactly the enumeration of ``solver/boxqp.py``.
 
 Semantics match ``solver/ilqr.py``'s backward pass (including full-DDP
 second-order terms and the projected-gradient stationarity measure) to f32
@@ -127,6 +128,44 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
             hi = [E(dub, a) for a in range(nu)]
 
             # ---- exact box QP: static active-set enumeration --------------
+            def solve_free(free, rhss):
+                """Solve Quu[F,F] X = rhs for each rhs, F a static index set.
+
+                k = 1, 2 use the closed forms (division / 2x2 adjugate —
+                bit-identical to the original nu <= 2 kernel); k = 3, 4 use
+                unrolled no-pivot Gaussian elimination (Quu is SPD + reg, so
+                leading pivots are positive).  Everything is elementwise
+                (8, 128) tile arithmetic; rhss is a list of k-length lists.
+                """
+                k = len(free)
+                if k == 1:
+                    d = Quu[free[0]][free[0]]
+                    return [[r[0] / d] for r in rhss]
+                if k == 2:
+                    f0, f1 = free
+                    det = Quu[f0][f0] * Quu[f1][f1] - Quu[f0][f1] * Quu[f1][f0]
+                    return [[(r[0] * Quu[f1][f1] - r[1] * Quu[f0][f1]) / det,
+                             (r[1] * Quu[f0][f0] - r[0] * Quu[f1][f0]) / det]
+                            for r in rhss]
+                A = [[Quu[free[r]][free[c]] for c in range(k)]
+                     for r in range(k)]
+                X = [r[:] for r in rhss]
+                for p in range(k):
+                    ip = 1.0 / A[p][p]
+                    for r in range(p + 1, k):
+                        m = A[r][p] * ip
+                        for c in range(p + 1, k):
+                            A[r][c] = A[r][c] - m * A[p][c]
+                        for x in X:
+                            x[r] = x[r] - m * x[p]
+                for x in X:
+                    for r in reversed(range(k)):
+                        s = x[r]
+                        for c in range(r + 1, k):
+                            s = s - A[r][c] * x[c]
+                        x[r] = s / A[r][r]
+                return X
+
             def qp_candidate(pat):
                 free = [a for a in range(nu) if pat[a] == 0]
                 v = [None] * nu
@@ -145,15 +184,22 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
                     v[a] = cv
                     feas = AND(feas, jnp.isfinite(cv))
 
-                if len(free) == 1:
-                    f0 = free[0]
-                    rhs = Qu[f0] + sum(Quu[f0][a] * v[a] for a in clamp_val)
-                    v[f0] = -rhs / Quu[f0][f0]
-                elif len(free) == 2:
-                    det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
-                    r0, r1 = Qu[0], Qu[1]
-                    v[0] = (-r0 * Quu[1][1] + r1 * Quu[0][1]) / det
-                    v[1] = (-r1 * Quu[0][0] + r0 * Quu[1][0]) / det
+                K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
+                     for _ in range(nu)]
+                if free:
+                    # kff: Quu_FF v_F = -(Qu_F + Quu_FC v_C);
+                    # K rows: Quu_FF K_F = -Qux_F (clamped rows stay zero —
+                    # clamped controls don't react to state perturbations)
+                    rhs_v = [-(Qu[f] + sum(Quu[f][c] * v[c]
+                                           for c in clamp_val))
+                             for f in free]
+                    rhs_K = [[-Qux[f][i] for f in free] for i in range(nx)]
+                    sols = solve_free(free, [rhs_v] + rhs_K)
+                    for j, f in enumerate(free):
+                        v[f] = sols[0][j]
+                    for i in range(nx):
+                        for j, f in enumerate(free):
+                            K[f][i] = sols[1 + i][j]
 
                 for a in free:
                     feas = AND(feas, (v[a] >= lo[a] - tol) & (v[a] <= hi[a] + tol))
@@ -171,20 +217,6 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
                           for a in range(nu) for b in range(nu)) \
                     + sum(Qu[a] * v[a] for a in range(nu))
                 obj = jnp.where(feas, obj, _BIG)
-
-                K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
-                     for _ in range(nu)]
-                if len(free) == 1:
-                    f0 = free[0]
-                    for i in range(nx):
-                        K[f0][i] = -Qux[f0][i] / Quu[f0][f0]
-                elif len(free) == 2:
-                    det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
-                    for i in range(nx):
-                        K[0][i] = (-Qux[0][i] * Quu[1][1]
-                                   + Qux[1][i] * Quu[0][1]) / det
-                        K[1][i] = (-Qux[1][i] * Quu[0][0]
-                                   + Qux[0][i] * Quu[1][0]) / det
                 return v, K, obj
 
             best_v, best_K, best_obj = qp_candidate(patterns[0])
@@ -284,14 +316,16 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
       dlb, dub: (B, N, nu) delta-control bounds (lb - u_nom, ub - u_nom).
       gN, HN: (B, nx), (B, nx, nx) terminal value gradient/Hessian.
       reg: (B,) per-problem Levenberg regularization added to Quu.
-      nx, nu: static dims (nu <= 2).
+      nx, nu: static dims (nu <= 4).
 
     Returns (kff (B, N, nu), K (B, N, nu, nx), dV1 (B,), dV2 (B,), gmax (B,)).
 
     B is padded internally to a multiple of 1024.
     """
-    if nu > 2:
-        raise NotImplementedError("pallas backward supports nu <= 2")
+    if nu > 4:
+        raise NotImplementedError(
+            "pallas backward supports nu <= 4 (3^nu active-set enumeration); "
+            "use backend='xla' (any nu) for wider control vectors")
     B0, N = derivs["fx"].shape[0], derivs["fx"].shape[1]
     B = ((B0 + _CELL - 1) // _CELL) * _CELL
     G = B // _CELL

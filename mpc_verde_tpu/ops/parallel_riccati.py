@@ -123,6 +123,85 @@ def lqt_gains(Fs, cs, Ls, Us, Js, etas):
     return K, k
 
 
+def lq_backward_parallel(fxs, fus, lxs, lus, lxxs, luus, luxs, gN, HN, reg):
+    """General-LQ backward pass in O(log N) depth — the DDP solvers'
+    ``backend="scan"`` engine (long-horizon mode, SURVEY.md §2.4/§5.7).
+
+    Solves the per-iteration LQ (Gauss-Newton) subproblem
+
+        min sum_k lx'dx + lu'du + 1/2 dx'lxx dx + 1/2 du'luu du + du'lux dx
+            + gN'dx_N + 1/2 dx_N' HN dx_N
+        s.t. dx_{k+1} = fx dx_k + fu du_k,  dx_0 = 0
+
+    by completing the square in du (eliminating the cross/linear control
+    terms), running the associative-scan value-function recursion of
+    ``lqt_backward_parallel`` (generalized to a direct (J, eta) element
+    init), and recovering the affine stage policies.  Returns the sequential
+    backward pass's exact contract:
+
+        (kffs (N, nu), Ks (N, nu, nx), dV1, dV2, gmax)
+
+    with du_k = kff_k + K_k dx_k, dV1/dV2 the expected-improvement terms
+    sum kff'Qu / 0.5 sum kff'Quu kff, and gmax = max |Qu| (stationarity;
+    controls are unbounded here — compose box constraints via the AL/IPM
+    outer loops, or use the sequential backends for exact stage box QPs).
+
+    ``reg`` is the Levenberg parameter added to luu (matching the
+    sequential pass's Quu regularization).
+    """
+    N, nx = fxs.shape[0], fxs.shape[-1]
+    nu = fus.shape[-1]
+    dt = fxs.dtype
+    I_u = jnp.eye(nu, dtype=dt)
+
+    Luu = luus + reg * I_u
+    luxT = jnp.swapaxes(luxs, -1, -2)
+    sol = jnp.linalg.solve(
+        Luu, jnp.concatenate([lus[..., None], luxs, jnp.swapaxes(fus, -1, -2)],
+                             axis=-1))
+    Li_lu = sol[..., 0]                      # Luu^{-1} lu        (N, nu)
+    Li_lux = sol[..., 1:1 + nx]              # Luu^{-1} lux       (N, nu, nx)
+    Li_fuT = sol[..., 1 + nx:]               # Luu^{-1} fu'       (N, nu, nx)
+
+    # du = w - Luu^{-1}(lu + lux dx):  dynamics and cost in (dx, w)
+    F = fxs - fus @ Li_lux
+    c = -(fus @ Li_lu[..., None])[..., 0]
+    Cs = fus @ Li_fuT                        # fu Luu^{-1} fu'
+    X = lxxs - luxT @ Li_lux
+    X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    q = lxs - (luxT @ Li_lu[..., None])[..., 0]
+
+    elems = LQTElement(A=F, b=c, C=Cs, eta=-q, J=X)
+    term = LQTElement(A=jnp.zeros((1, nx, nx), dt), b=jnp.zeros((1, nx), dt),
+                      C=jnp.zeros((1, nx, nx), dt), eta=-gN[None], J=HN[None])
+    elems = jax.tree_util.tree_map(
+        lambda a, t: jnp.concatenate([a, t], axis=0), elems, term)
+    rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), elems)
+    acc = jax.lax.associative_scan(lambda a, b: _combine(b, a), rev)
+    out = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), acc)
+    Js, etas = out.J, out.eta
+
+    # stage policies in w, then back-substitute to du
+    Jn, en = Js[1:], etas[1:]
+    fuT = jnp.swapaxes(fus, -1, -2)
+    S = Luu + fuT @ Jn @ fus                 # == Quu at the nominal
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    rhs = jnp.concatenate(
+        [(fuT @ (en[..., None] - Jn @ c[..., None])), fuT @ Jn @ F], axis=-1)
+    sol2 = jnp.linalg.solve(S, rhs)
+    kw = sol2[..., 0]
+    Kw = sol2[..., 1:]
+    kffs = kw - Li_lu
+    Ks = -(Kw + Li_lux)
+
+    # DDP-contract diagnostics at the nominal (dx = 0): Vx_{k+1} = -eta_{k+1}
+    Qu = lus - (fuT @ en[..., None])[..., 0]
+    dV1 = jnp.sum(kffs * Qu)
+    dV2 = 0.5 * jnp.sum(kffs[..., None, :] @ S @ kffs[..., None])
+    gmax = jnp.max(jnp.abs(Qu))
+    return kffs, Ks, dV1, dV2, gmax
+
+
 def lqt_solve_parallel(x0, Fs, cs, Ls, Xs, rs, Us, XN, rN):
     """Full parallel LQT solve: O(log N) backward + sequential rollout.
 

@@ -7,9 +7,10 @@ whole batch, the forward/rollout/linearization stay as fused vmapped XLA, and
 the backward pass runs as the single-launch Pallas kernel
 (``ops/pallas/riccati.py``) with batch filling the VPU lanes.
 
-Restrictions vs the per-problem solver: nu <= 2, no augmented-Lagrangian
-state bounds (fall back to ``make_ilqr_solver`` for those problems — every
-reference family except circular-with-state-box fits the fast path).
+Restrictions vs the per-problem solver: nu <= 4 on the Pallas backends
+(3^nu static active-set enumeration; ``backend="xla"`` handles any nu).
+State box bounds run the augmented-Lagrangian fast path (see
+``_augment_ocp_al``), so every reference family fits.
 
 The iteration-body pieces (rollout / line search / backward / acceptance
 logic) are factored out so the streaming refill solver
@@ -162,6 +163,27 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
             return riccati_backward_pallas(
                 d, dlb, dub, gN, HN, reg, ddp_scale, nx=nx, nu=nu,
                 use_ddp=opt.use_ddp, tol=opt.boxqp_tol)
+    elif backend == "scan":
+        # associative-scan (parallel-in-N) backward: O(log N) sequential
+        # depth instead of N scan steps — the long-horizon mode (SURVEY.md
+        # §2.4/§5.7).  Gauss-Newton LQ subproblem only: no exact stage box
+        # QPs (the solver's forward pass still clips, and AL/IPM outer
+        # loops compose for constrained problems) and no second-order
+        # dynamics terms (the Vx·fxx recursion is inherently sequential).
+        from ..ops.parallel_riccati import lq_backward_parallel
+
+        if ocp.control_bounds is not None:
+            raise NotImplementedError(
+                "backend='scan' solves the unbounded LQ subproblem; use "
+                "pallas_bw/xla for exact control boxes, or compose bounds "
+                "via the IPM/AL outer loops")
+
+        def backward1(d, gN, HN, dlb, dub, reg, ddp_scale):
+            return lq_backward_parallel(
+                d["fx"], d["fu"], d["lx"], d["lu"], d["lxx"], d["luu"],
+                d["lux"], gN, HN, reg)
+
+        backward = jax.vmap(backward1)
     else:
         from .ilqr import _stage_boxqp_with_gain
         from ..ops.smallmat import small_solve
@@ -364,7 +386,11 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
       * "pallas"    — Riccati backward kernel + fused line-search forward
                       kernel (both sequential hot loops as single launches);
       * "pallas_bw" — Riccati backward kernel, XLA scan line search;
-      * "xla"       — pure vmapped-XLA (CPU verification path).
+      * "xla"       — pure vmapped-XLA (CPU verification path);
+      * "scan"      — associative-scan parallel-in-N backward (O(log N)
+                      depth; Gauss-Newton, unbounded controls — the
+                      long-horizon mode, see docs/design.md crossover
+                      table).
 
     ``linesearch`` selects the XLA line-search strategy (ignored when the
     fused "pallas" forward kernel is active):
@@ -384,11 +410,18 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     tensor so every inner round is the unmodified fast path (Pallas kernels
     included); see ``_augment_ocp_al``.
     """
-    if ocp.nu > 2 and backend.startswith("pallas"):
-        raise NotImplementedError("pallas backward supports nu <= 2")
+    if ocp.nu > 4 and backend.startswith("pallas"):
+        raise NotImplementedError(
+            "pallas backward supports nu <= 4; use backend='xla' for wider "
+            "control vectors")
 
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
     opt = options
+    if backend == "scan" and opt.use_ddp:
+        # the parallel-scan backward is Gauss-Newton by construction (the
+        # Vx·fxx second-order recursion is sequential); don't pay for
+        # second-order derivative tensors it can't consume
+        opt = dataclasses.replace(opt, use_ddp=False)
     has_xb = ocp.has_state_bounds
     al_iters = opt.al_iters if has_xb else 0
     if has_xb and al_iters == 0:

@@ -242,3 +242,35 @@ def test_streaming_al_requires_al_iters():
     with pytest.raises(ValueError):
         make_streaming_solver(_ocp_xbounds(), mv.ILQROptions(al_iters=0),
                               backend="xla")
+
+
+def test_streaming_runtime_budget_overrides_match_static():
+    """max_iters / restarts passed at call time (traced data) must reproduce
+    the build-time-static behavior exactly — one executable, every serving
+    mode (VERDICT r2 #2)."""
+    ocp = _ocp()
+    M = 6
+    x0s, params, us0 = _queue(M, seed=21)
+    ref = jax.jit(make_batched_ilqr_solver(ocp, mv.ILQROptions(max_iters=80),
+                                           backend="xla"))(x0s, params, us0)
+    budget = int(np.array(ref.iterations).max()) - 1
+    # ONE jitted streaming solver, budgets as runtime scalars
+    solve = jax.jit(make_streaming_solver(
+        ocp, mv.ILQROptions(max_iters=80), backend="xla", batch_width=3))
+    no_rst = solve(x0s, params, us0, budget, 0)
+    with_rst = solve(x0s, params, us0, budget, 8)
+    # static-built twins
+    s_no = jax.jit(make_streaming_solver(
+        ocp, mv.ILQROptions(max_iters=budget), backend="xla",
+        batch_width=3))(x0s, params, us0)
+    s_rst = jax.jit(make_streaming_solver(
+        ocp, mv.ILQROptions(max_iters=budget), backend="xla", batch_width=3,
+        restarts=8))(x0s, params, us0)
+    for got, want in ((no_rst, s_no), (with_rst, s_rst)):
+        np.testing.assert_array_equal(np.array(got.converged),
+                                      np.array(want.converged))
+        np.testing.assert_array_equal(np.array(got.iterations),
+                                      np.array(want.iterations))
+        np.testing.assert_array_equal(np.array(got.us), np.array(want.us))
+    assert not bool(no_rst.converged.all())
+    assert bool(with_rst.converged.all())
