@@ -8,13 +8,18 @@ random initial states in f32.  ``vs_baseline`` normalizes against the
 per-chip share of BASELINE.json's north-star target (>=10,000 solves/s on a
 16-chip v5e slice -> 625 solves/s/chip).
 
-The headline path is the **streaming solver** (``solver/streaming.py``): one
-compiled while_loop owns a 1024-slot batch and refills each slot from the
-problem queue the moment its problem converges, so the device pays ~mean
-iterations per problem instead of ~max over a batch (the straggler tail —
-see docs/design.md).  The round-1 fixed-batch solver is reported alongside
-(``batched_*`` keys) as the latency-oriented mode, and a 100-iteration-budget
-streaming variant (``full_*`` keys) as the full-convergence serving mode.
+The headline is the **full-convergence streaming mode**: the continuous-
+batching solver (``solver/streaming.py``) with an extended per-problem
+budget plus in-place restarts, driving every queued problem to convergence
+(``converged_frac`` must be 1.0) — the honest serving number.  The
+fast mode (standard budget, ~99% converged) and the warm-started
+receding-horizon regime are reported alongside.  All three run the SAME
+compiled executable: iteration budget and restart budget are runtime
+scalars, so ``compile_s`` is paid once (VERDICT r2 #2).
+
+A first-principles roofline model (bytes + flops per DDP iteration, see
+docs/design.md "Roofline") is emitted under ``roofline_*`` keys so the
+headline can be judged against the v5e's HBM/VPU ceilings.
 
 Timing is *sustained* throughput: a stream of independent dispatches,
 blocked once (pipeline full, hides this image's ~20 ms remote-tunnel RTT
@@ -22,7 +27,9 @@ exactly as a serving deployment or local-host TPU would).  Synchronous
 single-dispatch latency is reported as ``sync_latency_ms``.
 
 Run directly on this image: the default backend is the single real TPU chip.
-``--cpu`` pins to host CPU for a smoke run.
+``--cpu`` pins to host CPU for a smoke run.  ``--mesh N`` instead measures
+weak scaling of the sharded streaming solver over an N-device mesh (virtual
+CPU devices when real chips are unavailable — shape/overhead check only).
 """
 from __future__ import annotations
 
@@ -42,8 +49,10 @@ def build_ocp(N: int):
 
     T = 0.2
     F = rk4_step(unicycle.f, T)
-    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1], dtype=jnp.float32))
-    R = jnp.diag(jnp.array([0.5, 0.05], dtype=jnp.float32))
+    # numpy constants: jnp constants would live on the remote TPU and each
+    # lowering fetches them through the tunnel (docs/design.md footgun)
+    Q = np.diag(np.array([1.0, 5.0, 0.1], dtype=np.float32))
+    R = np.diag(np.array([0.5, 0.05], dtype=np.float32))
 
     def l(x, u, p):
         e = x - p[:3]
@@ -53,8 +62,145 @@ def build_ocp(N: int):
         dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
         N=N, nx=3, nu=2, npar=3,
         control_bounds=mv.box_bounds(
-            jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])),
+            np.array([-1.0, -np.pi / 4], dtype=np.float32),
+            np.array([1.0, np.pi / 4], dtype=np.float32)),
     )
+
+
+def roofline(N, nx, nu, npar, A, mean_iters, solves_per_s, use_ddp=True):
+    """First-principles ceilings for one DDP iteration (docs/design.md).
+
+    Bytes: every tensor that crosses a kernel boundary inside the iteration
+    body (XLA fuses within, not across, the derivs -> backward -> line-search
+    chain), counted once per producer and once per consumer.  Flops: an
+    arithmetic-count estimate of the same phases (RK4 unicycle ~60 flop/eval;
+    forward-over-reverse second-order linearization ~30x the primal;
+    backward Q-expansion + 9-pattern box QP ~500 flop/stage).  Both are
+    *models*, not measurements — good to ~2x, which is enough to place the
+    workload on the roofline (the measured point sits far from both
+    ceilings; the binding constraint is sequential scan-step latency).
+    """
+    f = 4  # f32
+    d1 = N * (2 * nx * nx + nx * nu + nx + nu + nu * nu + nu * nx)
+    d2 = N * (nx * nx * nx + nx * nu * nx + nx * nu * nu) if use_ddp else 0
+    gains = N * (nu + nu * nx)
+    traj = (N + 1) * nx + N * nu + (N + 1) * npar
+    cand = A * ((N + 1) * nx + N * nu)
+    floats = (2 * (d1 + d2)      # derivative tensors written, read once
+              + 2 * gains        # kff/K written by backward, read by search
+              + 3 * traj         # nominal read by derivs/search/accept
+              + 2 * cand         # alpha candidates materialized + gathered
+              + (N + 1) * nx + N * nu)  # accepted iterate written
+    bytes_per_iter = f * floats
+
+    c_dyn = 60                       # RK4 unicycle incl. transcendentals
+    c_deriv = 30 * c_dyn + 300       # fwd-over-rev jac/hessians + cost terms
+    c_bwd = 500                      # Q expansion + 3^nu stage QP
+    c_fwd = c_dyn + 2 * nu * nx + 40 # rollout step + feedback + cost
+    flops_per_iter = N * (c_deriv + c_bwd + A * c_fwd)
+
+    HBM = 819e9    # v5e HBM bandwidth, B/s
+    VPU = 3.9e12   # v5e f32 vector peak (4 ALUs x 8x128 lanes x ~950 MHz)
+    hbm_rate = HBM / bytes_per_iter        # problem-iterations/s ceiling
+    vpu_rate = VPU / flops_per_iter
+    iter_rate = solves_per_s * mean_iters  # measured problem-iterations/s
+    return {
+        "roofline_bytes_per_prob_iter": bytes_per_iter,
+        "roofline_flops_per_prob_iter": flops_per_iter,
+        "roofline_hbm_bound_solves_per_s": round(hbm_rate / mean_iters, 0),
+        "roofline_vpu_bound_solves_per_s": round(vpu_rate / mean_iters, 0),
+        "roofline_hbm_fraction": round(iter_rate / hbm_rate, 4),
+        "roofline_sol_fraction": round(
+            iter_rate / min(hbm_rate, vpu_rate), 4),
+    }
+
+
+def bench_mesh(args):
+    """Weak-scaling measurement of the sharded streaming solver.
+
+    Per-device load is fixed (``--queue`` problems per device); the mesh is
+    n = 1, 2, ..., args.mesh virtual (or real) devices.  On this image the
+    host has 2 cores serving the virtual CPU devices, so raw wall-clock
+    cannot scale past 2x; ``efficiency_8dev`` therefore isolates *sharding*
+    overhead from host-core limits: with both cores saturated from n = 2 on,
+    ideal weak scaling gives T(n) = (n/2) T(2), so
+    ``efficiency = (n/2) * T(2) / T(n)``.  On a real multi-chip mesh the
+    same harness reports true parallel efficiency (T(n) = T(1) ideal).
+    """
+    import os
+
+    import numpy as np
+
+    n_max = args.mesh
+    if not args.tpu_mesh:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_max}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+    import jax.numpy as jnp
+
+    import mpc_verde_tpu as mv
+    from mpc_verde_tpu.parallel import batch_mesh, make_sharded_solver
+    from mpc_verde_tpu.solver.streaming import make_streaming_solver
+
+    N = args.horizon
+    ocp = build_ocp(N)
+    opts = mv.ILQROptions(max_iters=args.iters, tol_grad=1e-4, tol_cost=1e-6,
+                          n_alphas=8, alpha_decay=0.4)
+    Md = args.queue      # problems PER DEVICE (weak scaling)
+    W = args.width       # slots per device
+    rng = np.random.default_rng(0)
+    kern = "pallas_bw" if jax.default_backend() == "tpu" else "xla"
+
+    meshes = [n for n in (1, 2, 4, 8, 16) if n <= n_max]
+    times = {}
+    out = {"metric": f"mesh_weak_scaling_N{N}", "unit": "s",
+           "backend": jax.default_backend(), "queue_per_dev": Md,
+           "width_per_dev": W}
+    for n in meshes:
+        mesh = batch_mesh(n)
+        ssolve = make_streaming_solver(ocp, opts, backend=kern,
+                                       batch_width=W)
+        solve_n = make_sharded_solver(ssolve, mesh, batched=True)
+        M = Md * n
+        x0q = jnp.array(rng.uniform(-2, 2, (M, 3)), jnp.float32)
+        psq = jnp.broadcast_to(jnp.array([10., 10., 0.], jnp.float32),
+                               (M, N + 1, 3))
+        usq = jnp.zeros((M, N, 2), jnp.float32)
+        res, stats = solve_n(x0q, psq, usq)  # compile + warmup
+        jax.block_until_ready(res.us)
+        ts = []
+        for r in range(args.reps):
+            xr = x0q + jnp.float32(0.001 * (r + 1))
+            t0 = time.time()
+            res, stats = solve_n(xr, psq, usq)
+            jax.block_until_ready(res.us)
+            ts.append(time.time() - t0)
+        times[n] = min(ts)
+        out[f"t_{n}dev_s"] = round(times[n], 3)
+        out[f"solves_per_s_{n}dev"] = round(M / times[n], 1)
+        out[f"converged_{n}dev"] = int(stats.n_converged)
+    n_cores = os.cpu_count() or 1
+    if args.tpu_mesh:
+        # real chips: ideal weak scaling is constant wall time
+        for n in meshes[1:]:
+            out[f"efficiency_{n}dev"] = round(times[1] / times[n], 3)
+    else:
+        # virtual devices share n_cores host cores, saturated from `base`
+        # on; ideal wall time then grows linearly with total work, so
+        # efficiency = T(base) * (n/base) / T(n) isolates sharding overhead
+        # (collectives, imbalance) from the host-core limit.
+        base = 2 if (n_cores >= 2 and 2 in times) else 1
+        for n in meshes:
+            if n > base:
+                out[f"efficiency_{n}dev"] = round(
+                    times[base] * (n / base) / times[n], 3)
+    out["value"] = out.get(f"solves_per_s_{n_max}dev", 0.0)
+    out["vs_baseline"] = round(out["value"] / (625.0 * n_max), 3)
+    print(json.dumps(out))
 
 
 def main():
@@ -67,9 +213,23 @@ def main():
     # queue length per dispatch: large enough to amortize pipeline head/tail
     ap.add_argument("--queue", type=int, default=16384)
     ap.add_argument("--horizon", type=int, default=40)
-    ap.add_argument("--iters", type=int, default=40, help="max DDP iterations")
+    ap.add_argument("--iters", type=int, default=40,
+                    help="fast-mode DDP iteration budget")
+    ap.add_argument("--full-iters", type=int, default=60,
+                    help="full-convergence-mode budget (plus restarts)")
+    ap.add_argument("--restarts", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="weak-scaling mode over an N-device mesh")
+    ap.add_argument("--tpu-mesh", action="store_true",
+                    help="with --mesh: use real TPU devices")
+    ap.add_argument("--no-ipm", action="store_true",
+                    help="skip the interior-point extra metric")
     args = ap.parse_args()
+
+    if args.mesh:
+        args.queue = min(args.queue, 2048)
+        return bench_mesh(args)
 
     if args.cpu:
         from mpc_verde_tpu.utils import force_cpu
@@ -106,8 +266,8 @@ def main():
     # gradient of 1.0 is ~1e-4 relative.  tol_cost is relative; 1e-6 sits
     # above the f32 rollout-noise floor while being 1000x tighter than the
     # 1e-3 control-error acceptance bound.
-    opts = mv.ILQROptions(max_iters=args.iters, tol_grad=1e-4, tol_cost=1e-6,
-                          n_alphas=8, alpha_decay=0.4)
+    opts = mv.ILQROptions(max_iters=args.full_iters, tol_grad=1e-4,
+                          tol_cost=1e-6, n_alphas=8, alpha_decay=0.4)
 
     M, N = args.queue, args.horizon
     rng = np.random.default_rng(0)
@@ -116,64 +276,57 @@ def main():
     psq = jnp.broadcast_to(target, (M, N + 1, 3)).astype(jnp.float32)
     us0q = jnp.zeros((M, N, 2), dtype=jnp.float32)
 
+    # ONE streaming executable; budgets are runtime scalars (traced), so the
+    # fast and full-convergence modes below share this compile.
     ssolve = jax.jit(make_streaming_solver(ocp, opts, backend=kern,
                                            batch_width=args.width))
+    FULL = (args.full_iters, args.restarts)
+    FAST = (args.iters, 0)
     t0 = time.time()
-    res = ssolve(x0q, psq, us0q)
+    res = ssolve(x0q, psq, us0q, *FULL)
     jax.block_until_ready(res.us)
     compile_s = time.time() - t0
 
-    def stream(solve, xq, us, k):
+    def stream(xq, us, mode, k=3):
         """Sustained: k dispatches in flight, blocked once at the end."""
         xs = [xq + jnp.float32(0.001 * (i + 1)) for i in range(k)]
         t0 = time.time()
-        rs = [solve(x, psq, us) for x in xs]
+        rs = [ssolve(x, psq, us, *mode) for x in xs]
         for rr in rs:
             jax.block_until_ready(rr.us)
         return (time.time() - t0) / k, rs[-1]
 
     # best of `reps` streams: the remote-tunnel dispatch jitter on this
     # image perturbs individual streams by 10-30%
-    dt, res = min((stream(ssolve, x0q, us0q, 3) for _ in range(args.reps)),
+    dtf, res_f = min((stream(x0q, us0q, FULL) for _ in range(args.reps)),
+                     key=lambda t: t[0])
+    full_sps = M / dtf
+
+    dt, res = min((stream(x0q, us0q, FAST) for _ in range(args.reps)),
                   key=lambda t: t[0])
-    solves_per_s = M / dt
 
     # synchronous whole-queue latency (single dispatch, blocked)
     ltimes = []
     for r in range(args.reps):
         xr = x0q + jnp.float32(0.001 * (r + 1))
         t0 = time.time()
-        rl = ssolve(xr, psq, us0q)
+        rl = ssolve(xr, psq, us0q, *FULL)
         jax.block_until_ready(rl.us)
         ltimes.append(time.time() - t0)
     sync_ms = min(ltimes) * 1e3
 
     # warm-started (receding-horizon regime): previous solution shifted one
-    # stage, slightly moved initial state — the deployment steady state
-    warm_us = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
-    dtw, res_w = min((stream(ssolve, x0q + jnp.float32(0.02), warm_us, 3)
+    # stage, slightly moved initial state — the deployment steady state.
+    # Full-convergence budgets: the warm number is also a 100%-converged one.
+    warm_us = jnp.concatenate([res_f.us[:, 1:], res_f.us[:, -1:]], axis=1)
+    dtw, res_w = min((stream(x0q + jnp.float32(0.02), warm_us, FULL)
                       for _ in range(args.reps)), key=lambda t: t[0])
 
-    # full-convergence serving mode: extended budget + in-place restarts
-    # (the drain-phase restart without its host round-trips) — only the
-    # crawlers pay for either, so this replaces round-1's quorum+drain
-    import dataclasses
-
-    fopts = dataclasses.replace(opts, max_iters=60)
-    fsolve = jax.jit(make_streaming_solver(ocp, fopts, backend=kern,
-                                           batch_width=args.width,
-                                           restarts=2))
-    rf = fsolve(x0q, psq, us0q)
-    jax.block_until_ready(rf.us)
-    dtf, res_f = min((stream(fsolve, x0q, us0q, 2) for _ in range(args.reps)),
-                     key=lambda t: t[0])
-
     # round-1 fixed-batch solver (latency-oriented mode), B=args.batch
-    bsolve = jax.jit(make_batched_ilqr_solver(ocp, opts, backend=kern))
+    fast_opts = __import__("dataclasses").replace(opts, max_iters=args.iters)
+    bsolve = jax.jit(make_batched_ilqr_solver(ocp, fast_opts, backend=kern))
     Bb = min(args.batch, M)  # x0q[:Bb] must actually hold Bb problems
-    x0b = x0q[:Bb]
-    psb = psq[:Bb]
-    usb = us0q[:Bb]
+    x0b, psb, usb = x0q[:Bb], psq[:Bb], us0q[:Bb]
     rb = bsolve(x0b, psb, usb)
     jax.block_until_ready(rb.us)
     btimes = []
@@ -189,6 +342,8 @@ def main():
     # 84-step receding-horizon diff-drive run of Casadi/single_shooting_v1.py
     # (N=10, T=0.2, Euler plant shift :17-27) — batched over Bc plants, the
     # whole simulation one compiled scan (solve -> apply -> plant -> shift)
+    import dataclasses
+
     from mpc_verde_tpu.models import unicycle
     from mpc_verde_tpu.ops import euler_step
     from mpc_verde_tpu.runtime import make_batched_receding_horizon
@@ -214,27 +369,49 @@ def main():
     dtc = min(ctimes)
     err = jnp.linalg.norm(rc.xs[-1, :, :2] - target[:2], axis=-1)
 
+    # interior-point path (IPOPT-family analogue) on the same problem/batch
+    ipm = {}
+    if not args.no_ipm:
+        from mpc_verde_tpu.solver.ipm import make_barrier_solver
+
+        isolve = jax.jit(make_barrier_solver(ocp, fast_opts, backend=kern))
+        Bi = min(2048, M)
+        ri = isolve(x0q[:Bi], psq[:Bi], us0q[:Bi])
+        jax.block_until_ready(ri.us)
+        itimes = []
+        for r in range(args.reps):
+            xr = x0q[:Bi] + jnp.float32(0.001 * (r + 1))
+            t0 = time.time()
+            ri = isolve(xr, psq[:Bi], us0q[:Bi])
+            jax.block_until_ready(ri.us)
+            itimes.append(time.time() - t0)
+        ipm = {
+            "ipm_solves_per_s": round(Bi / min(itimes), 1),
+            "ipm_converged_frac": round(float(ri.converged.mean()), 4),
+        }
+
     per_chip_target = 10000.0 / 16.0  # BASELINE.json: >=10k on v5e-16
     out = {
         "metric": f"batched_mpc_solves_per_s_chip_N{N}",
-        "value": round(solves_per_s, 1),
+        "value": round(full_sps, 1),
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_s / per_chip_target, 3),
+        "vs_baseline": round(full_sps / per_chip_target, 3),
         "backend": backend,
-        "solver": "streaming",
+        "solver": "streaming-full",
         "width": args.width,
         "queue": M,
-        "max_iters": args.iters,
-        "converged_frac": round(float(res.converged.mean()), 4),
-        "mean_iterations": round(float(res.iterations.mean()), 2),
+        "budget": f"{args.full_iters}+{args.restarts}rst",
+        "converged_frac": round(float(res_f.converged.mean()), 4),
+        "mean_iterations": round(float(res_f.iterations.mean()), 2),
         "compile_s": round(compile_s, 1),
-        "queue_ms": round(dt * 1e3, 2),
+        "queue_ms": round(dtf * 1e3, 2),
         "sync_latency_ms": round(sync_ms, 2),
+        "fast_solves_per_s": round(M / dt, 1),
+        "fast_converged_frac": round(float(res.converged.mean()), 4),
+        "fast_mean_iterations": round(float(res.iterations.mean()), 2),
         "warm_solves_per_s": round(M / dtw, 1),
         "warm_converged_frac": round(float(res_w.converged.mean()), 4),
         "warm_mean_iterations": round(float(res_w.iterations.mean()), 2),
-        "full_solves_per_s": round(M / dtf, 1),
-        "full_converged_frac": round(float(res_f.converged.mean()), 4),
         "batched_solves_per_s": round(Bb / dtb, 1),
         "batched_sync_ms": round(dtb * 1e3, 2),
         "batched_converged_frac": round(float(rb.converged.mean()), 4),
@@ -245,6 +422,9 @@ def main():
         # real-time margin: control period T=0.2 s vs on-device step time
         "closedloop_realtime_factor": round(0.2 / (dtc / Nsim), 1),
         "closedloop_final_err_max": round(float(err.max()), 4),
+        **ipm,
+        **roofline(N, ocp.nx, ocp.nu, 3, opts.n_alphas,
+                   max(float(res_f.iterations.mean()), 1.0), full_sps),
     }
     print(json.dumps(out))
 

@@ -12,16 +12,20 @@ This kernel fuses the whole line search into ONE launch per solver iteration:
   * **Batch-major tiles**: like the Riccati kernel, each (8, 128) VPU tile
     holds one vector/matrix entry for 1024 independent problems; the batch is
     the vector axis (``_to_tiles`` layout shared with ``riccati.py``).
-  * **All alphas vectorized**: the candidate state carries an extra leading
-    alpha axis (A, nx, 8, 128); every rollout step advances all A candidates
-    of all 1024 problems in a handful of tile ops.
+  * **Alphas as a sequential grid dimension**: grid = (batch_cells, A + 1).
+    Steps 0..A-1 roll one step length each (cost only), carrying the
+    per-problem running best (first minimum, matching ``jnp.argmin``) in
+    VMEM scratch; step A re-rolls the winning alpha and materializes the
+    trajectory.  One rollout body serves both phases — the winner pass just
+    swaps the broadcast scalar alpha for the per-problem best-alpha tile.
+    (Round-2 history: vectorizing alphas as a leading (A, nx, 8, 128)
+    tensor axis made the Mosaic program ~A x larger and pushed compile
+    past 9 minutes; as a grid dimension the per-step body is single-alpha
+    sized, the stage data stays VMEM-resident across grid steps — the
+    index maps are constant in the alpha index, so nothing re-fetches —
+    and total arithmetic is identical.)
   * **Stages as an in-kernel ``fori_loop``** over VMEM-resident stage data —
     no per-step kernel dispatch, no HBM round trips.
-  * **In-kernel selection + materialization**: after the cost pass, the
-    per-problem best alpha (first minimum, matching ``jnp.argmin``) is
-    selected branch-free and a second single-alpha pass re-rolls the winning
-    trajectory and writes it out.  The XLA equivalent materializes all A
-    trajectories and gathers — 8x the HBM traffic.
 
 The user's dynamics/cost/bounds callables (plain jax functions of single
 vectors, e.g. the RK4-discretized unicycle of ``Casadi/single_shooting_v1.py``)
@@ -181,6 +185,11 @@ def _make_kernel(nx: int, nu: int, N: int, A: int,
     ``n_consts = (n_dyn, n_cost, n_term, n_cb)`` counts each callable's
     hoisted constants; ``const_shapes`` lists their original shapes in the
     same concatenated order.
+
+    Grid layout: (G, A + 1) with the alpha axis sequential.  Grid steps
+    0..A-1 roll their alpha's cost and fold it into the per-problem running
+    best (VMEM scratch); step A re-rolls the winning alpha and materializes
+    the trajectory.  One rollout body serves both phases.
     """
     nd, nc, nt, nb = n_consts
     total = nd + nc + nt + nb
@@ -191,21 +200,18 @@ def _make_kernel(nx: int, nu: int, N: int, A: int,
     l2 = _f32_out(_tile2(cost_p, 3 + nc))
     lf2 = _f32_out(_tile2(term_p, 2 + nt))
     cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
-    # alpha-axis variants: state/control carry a leading (A,) axis; params,
-    # stage index, and consts are shared
-    F3 = jax.vmap(F2, in_axes=(0, 0, None) + (None,) * nd, out_axes=0)
-    l3 = jax.vmap(l2, in_axes=(0, 0, None) + (None,) * nc, out_axes=0)
-    lf3 = jax.vmap(lf2, in_axes=(0, None) + (None,) * nt, out_axes=0)
-    cb3 = jax.vmap(cb2, in_axes=(0, None, None) + (None,) * nb, out_axes=0)
 
     def kernel(*refs):
         (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
         const_rs = refs[6:6 + total]
-        xs_o, us_o, cost_o = refs[6 + total:]
+        xs_o, us_o, cost_o = refs[6 + total:6 + total + 3]
+        best_a_s, best_c_s = refs[6 + total + 3:]
+
+        s = pl.program_id(1)  # alpha index; s == A is the materialize pass
 
         # per-lane views of the hoisted constants: (e, 8, 128) -> S + (8, 128)
-        cl = [r[0].reshape(tuple(s) + (_SUB, _LANE))
-              for r, s in zip(const_rs, const_shapes)]
+        cl = [r[0].reshape(tuple(sh) + (_SUB, _LANE))
+              for r, sh in zip(const_rs, const_shapes)]
         c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
         c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
 
@@ -215,38 +221,21 @@ def _make_kernel(nx: int, nu: int, N: int, A: int,
         x0 = x0_r[0]                               # (nx, 8, 128)
         pN = ps_r[0, N]                            # (npar, 8, 128)
 
-        # ---- pass 1: cost of every alpha candidate -----------------------
-        def p1(k, carry):
-            x, cost = carry                        # (A, nx, 8,128), (A, 8,128)
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            dx = x - x_nom[None]
-            Kdx = jnp.stack(
-                [sum(Kf[a * nx + i] * dx[:, i] for i in range(nx))
-                 for a in range(nu)], axis=1)      # (A, nu, 8, 128)
-            # alphas unrolled as python-float scalars (no array constants)
-            u = jnp.stack(
-                [u_nom + jnp.float32(alphas[a]) * kff + Kdx[a]
-                 for a in range(A)], axis=0)
-            lb, ub = cb3(x, p, k, *c_cb)
-            u = jnp.clip(u, lb, ub)
-            return F3(x, u, p, *c_dyn), cost + l3(x, u, p, *c_cost)
+        @pl.when(s == 0)
+        def _():
+            best_a_s[0] = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
+            best_c_s[0] = jnp.full((_SUB, _LANE), jnp.float32(_INF))
 
-        xA0 = jnp.broadcast_to(x0[None], (A,) + x0.shape)
-        c0 = jnp.zeros((A, _SUB, _LANE), jnp.float32)
-        xN_A, costs = jax.lax.fori_loop(0, N, p1, (xA0, c0))
-        costs = costs + lf3(xN_A, pN, *c_term)
-
-        # first-minimum alpha per problem (matches jnp.argmin tie-breaking)
-        cmin = costs[0]
-        at = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
+        # this step's alpha: a broadcast scalar for the cost passes, the
+        # per-problem winner tile for the materialize pass (alphas unrolled
+        # as python-float scalars — no array constants in the kernel)
+        a_s = jnp.float32(alphas[0])
         for a in range(1, A):
-            better = costs[a] < cmin
-            at = jnp.where(better, jnp.float32(alphas[a]), at)
-            cmin = jnp.where(better, costs[a], cmin)
+            a_s = jnp.where(s == a, jnp.float32(alphas[a]), a_s)
+        at = jnp.where(s == A, best_a_s[0],
+                       jnp.full((_SUB, _LANE), 1.0) * a_s)
 
-        # ---- pass 2: re-roll the winner, materialize trajectory ----------
-        def p2(k, carry):
+        def step(k, carry):
             x, cost = carry                        # (nx, 8, 128), (8, 128)
             x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
             kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
@@ -257,16 +246,35 @@ def _make_kernel(nx: int, nu: int, N: int, A: int,
             u = u_nom + at[None] * kff + Kdx
             lb, ub = cb2(x, p, k, *c_cb)
             u = jnp.clip(u, lb, ub)
-            xs_o[0, pl.ds(k, 1)] = x[None]
-            us_o[0, pl.ds(k, 1)] = u[None]
+
+            @pl.when(s == A)
+            def _():
+                xs_o[0, pl.ds(k, 1)] = x[None]
+                us_o[0, pl.ds(k, 1)] = u[None]
+
             return F2(x, u, p, *c_dyn), cost + l2(x, u, p, *c_cost)
 
         z = jnp.zeros((_SUB, _LANE), jnp.float32)
-        xN, cost2 = jax.lax.fori_loop(0, N, p2, (x0, z))
-        xs_o[0, pl.ds(N, 1)] = xN[None]
-        cost_o[0] = cost2 + lf2(xN, pN, *c_term)
+        xN, cost = jax.lax.fori_loop(0, N, step, (x0, z))
+        cost = cost + lf2(xN, pN, *c_term)
+
+        @pl.when(s < A)
+        def _():
+            # strict < with ascending s = first-minimum tie-breaking,
+            # matching jnp.argmin in the XLA path
+            better = cost < best_c_s[0]
+            best_a_s[0] = jnp.where(better, at, best_a_s[0])
+            best_c_s[0] = jnp.where(better, cost, best_c_s[0])
+
+        @pl.when(s == A)
+        def _():
+            xs_o[0, pl.ds(N, 1)] = xN[None]
+            cost_o[0] = cost
 
     return kernel
+
+
+_INF = float(np.finfo(np.float32).max)
 
 
 def linesearch_forward_pallas(
@@ -332,13 +340,16 @@ def linesearch_forward_pallas(
         args.append(jnp.broadcast_to(
             jnp.asarray(c).reshape(1, e, 1, 1), (G, e, _SUB, _LANE)))
 
+    # index maps constant in the alpha grid index: stage data stays
+    # VMEM-resident across the A + 1 sequential passes (no re-fetch)
     def stage_spec(n, entries):
         return pl.BlockSpec((1, n, entries, _SUB, _LANE),
-                            lambda g: (g, 0, 0, 0, 0),
+                            lambda g, s: (g, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def static_spec(entries):
-        return pl.BlockSpec((1, entries, _SUB, _LANE), lambda g: (g, 0, 0, 0),
+        return pl.BlockSpec((1, entries, _SUB, _LANE),
+                            lambda g, s: (g, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -349,7 +360,7 @@ def linesearch_forward_pallas(
     out_specs = [
         stage_spec(N + 1, nx),
         stage_spec(N, nu),
-        pl.BlockSpec((1, _SUB, _LANE), lambda g: (g, 0, 0),
+        pl.BlockSpec((1, _SUB, _LANE), lambda g, s: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -362,15 +373,16 @@ def linesearch_forward_pallas(
                           dyn_p, cost_p, term_p, cb_p, n_consts, const_shapes)
     xs_t, us_t, cost_t = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(G, A + 1),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best alpha
+            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best cost
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # Mosaic's worst-case stack accounting for the unrolled
-            # alpha-vectorized RK4 temporaries exceeds the 16MB default;
-            # v5e has 128MB physical VMEM per core
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)

@@ -97,8 +97,10 @@ def make_barrier_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     barrier answer is returned.
 
     ``backend`` follows the batched solver ("xla" everywhere; "pallas_bw"
-    additionally needs nu <= 2).
+    additionally needs nu <= 4).
     """
+    import warnings
+
     lb, ub = _constant_box(ocp)
     npar = max(ocp.npar, 1)
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
@@ -120,6 +122,13 @@ def make_barrier_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     )
     solve_b = make_batched_ilqr_solver(ocp_b, options, backend=backend)
     mus = tuple(float(m) for m in mu_schedule)
+    if crossover and nu > 4:
+        # don't silently degrade: the pure-barrier answer can sit ~3e-3 off
+        # in flat bang-bang valleys (docstring) — tell the user at build time
+        warnings.warn(
+            f"barrier crossover skipped: nu={nu} exceeds the exact-boxQP "
+            "enumeration limit (4); returning the pure barrier optimum "
+            "(~O(final mu) inside active bounds)", stacklevel=2)
     solve_x = (make_batched_ilqr_solver(ocp, options, backend=backend)
                if crossover and nu <= 4 else None)
 
