@@ -16,6 +16,7 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def box_bounds(lb, ub, N: Optional[int] = None):
@@ -25,8 +26,13 @@ def box_bounds(lb, ub, N: Optional[int] = None):
     ``Casadi/single_shooting_v1.py:134-139``) or (N, nu) (per-stage, like the
     Du move-blocking vectors at ``Inverted_pendulum/...mpctools.py:34-42``).
     """
-    lb = jnp.atleast_1d(jnp.asarray(lb, dtype=jnp.result_type(float)))
-    ub = jnp.atleast_1d(jnp.asarray(ub, dtype=lb.dtype))
+    # numpy (host) constants: device-resident closure arrays are fetched
+    # back through the remote tunnel at MLIR-lowering time (minutes on the
+    # axon image — docs/design.md "Lowering-time footgun"); numpy lowers
+    # locally.  np.asarray on a jax array pulls it to host once, here at
+    # build time, instead of at every lowering.
+    lb = np.atleast_1d(np.asarray(lb, dtype=jnp.result_type(float)))
+    ub = np.atleast_1d(np.asarray(ub, dtype=lb.dtype))
 
     if lb.ndim == 1:
         def bounds(x, p, k):

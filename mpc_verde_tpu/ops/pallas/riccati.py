@@ -355,10 +355,10 @@ def riccati_backward_pallas(derivs: Dict[str, jnp.ndarray], dlb, dub, gN, HN,
             _to_tiles(f32(derivs["fuu"]), B, nx * nu * nu),
         ]
     else:
-        z = jnp.zeros((G, N, 1, _SUB, _LANE), jnp.float32)
+        z = np.zeros((G, N, 1, _SUB, _LANE), np.float32)
         args += [z, z, z]
     if ddp_scale is None:
-        ddp_scale = jnp.ones((B0,), jnp.float32)
+        ddp_scale = np.ones((B0,), np.float32)
     args += [
         _to_tiles(f32(dlb), B, nu),
         _to_tiles(f32(dub), B, nu),

@@ -24,6 +24,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ocp.spec import OCP
 from ..ops.linearize import linearize_trajectory
@@ -50,11 +51,11 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
 
     if ocp.control_bounds is None:
         def cb(x, p, k):
-            return jnp.full((nu,), -jnp.inf), jnp.full((nu,), jnp.inf)
+            return np.full((nu,), -np.inf), np.full((nu,), np.inf)
     else:
         cb = ocp.control_bounds
 
-    ks = jnp.arange(N)
+    ks = np.arange(N, dtype=np.int32)
 
     def rollout1(x0, us, ps):
         def step(x, inp):
@@ -122,7 +123,8 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
     # HBM per scan step — measured 272 ms vs 165 ms per 16k-problem queue.
     # Keep alpha as a broadcast axis, never a physical one.
     derivs = jax.vmap(derivs1)
-    alphas = opt.alpha_decay ** jnp.arange(opt.n_alphas)
+    alphas = np.asarray(opt.alpha_decay ** np.arange(opt.n_alphas),
+                        dtype=jnp.result_type(float))
 
     # "pallas" fuses BOTH hot sequential passes into single kernel launches
     # (Riccati backward + line-search forward); "pallas_bw" keeps the XLA
@@ -148,15 +150,17 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
             # sweep all alphas materialization-free, re-roll the winner
             costs_c = fwd_costs(x0s, xs, us, ps, kffs, Ks, alphas)  # (B,A)
             best = jnp.argmin(costs_c, axis=1)                     # (B,)
-            return forward_ba(x0s, xs, us, ps, kffs, Ks, alphas[best])
+            return forward_ba(x0s, xs, us, ps, kffs, Ks,
+                              jnp.take(jnp.asarray(alphas), best))
     else:
         def ls(x0s, xs, us, ps, kffs, Ks):
             B = x0s.shape[0]
             xs_c, us_c, costs_c = jax.vmap(
                 lambda a: forward(x0s, xs, us, ps, kffs, Ks, a))(alphas)
             best = jnp.argmin(costs_c, axis=0)                     # (B,)
-            new_cost = costs_c[best, jnp.arange(B)]
-            return xs_c[best, jnp.arange(B)], us_c[best, jnp.arange(B)], new_cost
+            bi = np.arange(B)
+            new_cost = costs_c[best, bi]
+            return xs_c[best, bi], us_c[best, bi], new_cost
 
     if backend.startswith("pallas"):
         def backward(d, gN, HN, dlb, dub, reg, ddp_scale):
@@ -203,7 +207,7 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
                 Qx = lx + fx.T @ Vx
                 Qu = lu + fu.T @ Vx
                 Qxx = lxx + fx.T @ Vxx @ fx
-                Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=lu.dtype)
+                Quu = luu + fu.T @ Vxx @ fu + reg * np.eye(nu).astype(lu.dtype)
                 Qux = lux + fu.T @ Vxx @ fx
                 if opt.use_ddp:
                     Qxx = Qxx + ddp_scale * jnp.einsum("i,ijk->jk", Vx, fxx)
@@ -303,7 +307,7 @@ def _broadcast_params(ocp: OCP, ps, B, dt_f):
     """Normalize a params argument to (B, N+1, npar)."""
     N = ocp.N
     if ps is None:
-        return jnp.zeros((B, N + 1, max(ocp.npar, 1)), dtype=dt_f)
+        return jnp.asarray(np.zeros((B, N + 1, max(ocp.npar, 1)), dtype=dt_f))
     ps = jnp.asarray(ps, dtype=dt_f)
     # broadcast conveniences, matching the sibling solvers: (npar,) shared
     # across stages+batch, or (N+1, npar) shared across batch
@@ -363,9 +367,9 @@ def _accept_and_update(opt: ILQROptions, carry, gmax, xs_b, us_b, new_cost,
         jnp.minimum(reg * opt.reg_up, opt.reg_max)))
     # fresh Gauss-Newton steps start from reg_init (see ilqr.py)
     reg_n = jnp.where(ddp_off_now & ~keep,
-                      jnp.asarray(opt.reg_init, reg.dtype), reg_n)
+                      np.asarray(opt.reg_init, reg.dtype), reg_n)
     if fresh is not None:
-        reg_n = jnp.where(fresh, jnp.asarray(opt.reg_init, reg.dtype), reg_n)
+        reg_n = jnp.where(fresh, np.asarray(opt.reg_init, reg.dtype), reg_n)
     it_n = jnp.where(keep, it, it + 1)
     stall_out = jnp.where(keep, stall, stall_n)
     done_n = done | new_done
@@ -458,12 +462,17 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
         B_ = x0s.shape[0]
         dt_f = cost0.dtype
-        reg0 = jnp.full((B_,), opt.reg_init, dtype=dt_f)
+        # numpy initial-state constants: device-array constants are
+        # fetched through the remote tunnel at MLIR-lowering time
+        # (~30 KB/s on this image); numpy lowers locally as splats
+        reg0 = np.full((B_,), opt.reg_init, dtype=dt_f)
         carry0 = (xs0, us0, cost0, reg0,
-                  jnp.zeros((B_,), jnp.int32), jnp.zeros((B_,), bool),
-                  jnp.full((B_,), jnp.inf, dt_f), jnp.zeros((B_,), jnp.int32),
-                  jnp.zeros((B_,), bool),
-                  jnp.full((B_,), bool(opt.use_ddp)))
+                  np.zeros((B_,), np.int32),
+                  np.zeros((B_,), bool),
+                  np.full((B_,), np.inf, dt_f),
+                  np.zeros((B_,), np.int32),
+                  np.zeros((B_,), bool),
+                  jnp.asarray(np.full((B_,), bool(opt.use_ddp))))
         xs, us, cost, reg, it, done, gnorm, _, fail, _ = jax.lax.while_loop(
             cond, body, carry0)
         return xs, us, cost, it, gnorm, done, fail
@@ -474,7 +483,7 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         B = x0s.shape[0]
         ps = _broadcast_params(ocp_in, params, B, dt_f)
         if us_init is None:
-            us_init = jnp.zeros((B, N, nu), dtype=dt_f)
+            us_init = np.zeros((B, N, nu), dtype=dt_f)
         us_init = jnp.asarray(us_init, dtype=dt_f)
 
         if not has_xb:
@@ -482,7 +491,7 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             return ILQRResult(
                 xs=xs, us=us, cost=cost, grad_norm=gnorm, iterations=it,
                 converged=done & ~fail & jnp.isfinite(cost),
-                max_violation=jnp.zeros((B,), dt_f))
+                max_violation=np.zeros((B,), dt_f))
 
         l, lf = ocp_in.stage_cost, ocp_in.terminal_cost
         lfv = lf or (lambda x, p: jnp.zeros((), dtype=x.dtype))
@@ -500,8 +509,8 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             return (us_n, lam_n, mu * opt.al_mu_factor), (xs, it, gnorm, ok)
 
         vz = jnp.sum(x0s) * 0.0
-        lam0 = jnp.zeros((B, N + 1, 2 * nx), dtype=dt_f) + vz
-        mu0 = jnp.full((B,), opt.al_mu0, dtype=dt_f) + vz
+        lam0 = np.zeros((B, N + 1, 2 * nx), dtype=dt_f) + vz
+        mu0 = np.full((B,), opt.al_mu0, dtype=dt_f) + vz
         (us, _, _), (xss, its, gnorms, oks) = jax.lax.scan(
             al_round, (us_init, lam0, mu0), None, length=al_iters)
         xs = xss[-1]

@@ -31,6 +31,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..ocp.spec import OCP
@@ -139,7 +140,7 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
     if ocp.control_bounds is None:
         def cb(x, p, k):
             big = jnp.inf
-            return jnp.full((nu,), -big), jnp.full((nu,), big)
+            return np.full((nu,), -big), np.full((nu,), big)
     else:
         cb = ocp.control_bounds
 
@@ -172,7 +173,7 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             c = c + _al_penalty(x, lam, mu)
         return c
 
-    ks = jnp.arange(N)
+    ks = np.arange(N, dtype=np.int32)
 
     def rollout(x0, us, ps, lam, mu):
         """Clamped rollout: controls clipped into their (state-dependent) box."""
@@ -217,7 +218,7 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
             Qx = lx + fx.T @ Vx
             Qu = lu + fu.T @ Vx
             Qxx = lxx + fx.T @ Vxx @ fx
-            Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=lu.dtype)
+            Quu = luu + fu.T @ Vxx @ fu + reg * np.eye(nu).astype(lu.dtype)
             Qux = lux + fu.T @ Vxx @ fx
             if opt.use_ddp:
                 # Full DDP: contract the value gradient with the dynamics
@@ -272,7 +273,8 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         cost = jnp.sum(cs) + term_cost_aug(xN, ps[N], lam[N], mu)
         return xs_n, us_n, cost
 
-    alphas = opt.alpha_decay ** jnp.arange(opt.n_alphas)
+    alphas = np.asarray(opt.alpha_decay ** np.arange(opt.n_alphas),
+                        dtype=jnp.result_type(float))
 
     def inner_solve(x0, ps, us_init, lam, mu):
         xs0, us0, cost0 = rollout(x0, us_init, ps, lam, mu)
@@ -359,18 +361,18 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
         dt_f = jnp.result_type(float)
         x0 = jnp.asarray(x0, dtype=dt_f)
         if params is None:
-            ps = jnp.zeros((N + 1, max(ocp.npar, 1)), dtype=dt_f)
+            ps = np.zeros((N + 1, max(ocp.npar, 1)), dtype=dt_f)
         else:
             ps = jnp.asarray(params, dtype=dt_f)
             if ps.ndim == 1:
                 ps = jnp.broadcast_to(ps, (N + 1, ps.shape[0]))
         if us_init is None:
-            us_init = jnp.zeros((N, nu), dtype=dt_f)
+            us_init = np.zeros((N, nu), dtype=dt_f)
         us_init = jnp.asarray(us_init, dtype=dt_f)
 
         nlam = 2 * nx
         vz0 = jnp.sum(x0) * 0.0  # varying-zero (see inner_solve)
-        lam0 = jnp.zeros((N + 1, nlam), dtype=dt_f) + vz0
+        lam0 = np.zeros((N + 1, nlam), dtype=dt_f) + vz0
         mu0 = jnp.asarray(opt.al_mu0, dtype=dt_f) + vz0
 
         if al_iters == 0:

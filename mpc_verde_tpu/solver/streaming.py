@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ocp.spec import OCP
 from .ilqr import ILQROptions, ILQRResult
@@ -115,18 +116,9 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         if has_xb:
             # extend every queue entry with fresh multipliers [lam=0, mu=mu0]
             psq = jnp.concatenate([
-                psq, jnp.zeros((M, N + 1, nlam), dt_f),
-                jnp.full((M, N + 1, 1), opt.al_mu0, dt_f)], axis=-1)
-        if us_init is None:
-            us_init = jnp.zeros((M, N, nu), dtype=dt_f)
-        us0q = jnp.asarray(us_init, dtype=dt_f)
-
-        idx0 = jnp.arange(B, dtype=jnp.int32)
-        n0 = min(B, M)
-        prob0 = jnp.where(idx0 < n0, idx0, M)
-        fresh0 = idx0 < n0
-        g0 = jnp.clip(prob0, 0, M - 1)
-
+                psq, np.zeros((M, N + 1, nlam), dt_f),
+                np.full((M, N + 1, 1), opt.al_mu0, dt_f)],
+                axis=-1)
         # Varying-zero: under shard_map, literal-constant carry leaves are
         # typed "replicated" while the loop body produces device-varying
         # values; tying every carry leaf to the (varying) problem data keeps
@@ -136,43 +128,61 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         # problem, never the shared zero.
         vz = jnp.sum(jnp.where(jnp.isfinite(x0q), x0q, 0.0) * 0.0)
 
+        # Numpy bookkeeping constants everywhere below: eager jnp arrays
+        # would live on the device and be FETCHED back through the remote
+        # tunnel at MLIR-lowering time (~30 KB/s on this image — measured
+        # 350+ s for the old (M+1)-row jnp.zeros output buffers alone);
+        # numpy constants lower locally as splat attributes.  psq/us0q are
+        # tainted with the traced zero so tracer-indexed gathers below see
+        # jax arrays even when the caller passed None.
+        if us_init is None:
+            us_init = np.zeros((M, N, nu), dtype=dt_f)
+        us0q = (us_init + vz).astype(dt_f)
+        psq = psq + vz.astype(dt_f)
+
+        idx0 = np.arange(B, dtype=np.int32)
+        n0 = min(B, M)
+        prob0 = np.where(idx0 < n0, idx0, M).astype(np.int32)
+        fresh0 = idx0 < n0
+        g0 = np.clip(prob0, 0, M - 1)
+
         def _vary(leaf):
             if leaf.dtype == jnp.bool_:
                 return leaf ^ (vz > 1.0)
             return leaf + vz.astype(leaf.dtype)
 
-        inf = jnp.asarray(jnp.inf, dt_f)
+        inf = np.asarray(np.inf, dt_f)
         state0 = (
-            jnp.zeros((B, N + 1, nx), dt_f),        # xs (stale until rollout)
-            us0q[g0],                                # us (nominal = warm start)
-            jnp.full((B,), inf),                     # cost (inf: accept rollout)
-            jnp.full((B,), opt.reg_init, dt_f),      # reg
-            jnp.full((B,), -1, jnp.int32),           # it (-1: rollout pass is 0)
-            ~fresh0,                                 # done (idle slots)
-            jnp.full((B,), inf),                     # gnorm
-            jnp.zeros((B,), jnp.int32),              # stall
-            jnp.zeros((B,), bool),                   # fail
-            jnp.full((B,), bool(opt.use_ddp)),       # ddp_on
+            np.zeros((B, N + 1, nx), dt_f),      # xs (stale until rollout)
+            us0q[g0],                            # us (nominal = warm start)
+            np.full((B,), np.inf, dt_f),         # cost (inf: accept rollout)
+            np.full((B,), opt.reg_init, dt_f),   # reg
+            np.full((B,), -1, np.int32),         # it (-1: rollout pass is 0)
+            ~fresh0,                             # done (idle slots)
+            np.full((B,), np.inf, dt_f),         # gnorm
+            np.zeros((B,), np.int32),            # stall
+            np.zeros((B,), bool),                # fail
+            np.full((B,), bool(opt.use_ddp)),    # ddp_on
         )
         book0 = (
-            x0q[g0],                                 # x0s per slot
-            psq[g0],                                 # ps per slot
-            prob0,                                   # problem index (M = idle)
-            fresh0,                                  # fresh flag
-            jnp.zeros((B,), bool),                   # capped flag
-            jnp.zeros((B,), jnp.int32),              # restarts used
-            jnp.zeros((B,), jnp.int32),              # iterations before restart
-            jnp.asarray(n0, jnp.int32),              # queue pointer
-            jnp.zeros((B,), jnp.int32),              # AL round (0 if no bounds)
+            x0q[g0],                             # x0s per slot
+            psq[g0],                             # ps per slot
+            prob0,                               # problem index (M = idle)
+            fresh0,                              # fresh flag
+            np.zeros((B,), bool),                # capped flag
+            np.zeros((B,), np.int32),            # restarts used
+            np.zeros((B,), np.int32),            # iters before restart
+            np.int32(n0),                        # queue pointer
+            np.zeros((B,), np.int32),            # AL round (0 = no bounds)
         )
         # output buffers; row M is the dummy target for idle-slot writes
         out0 = (
-            jnp.zeros((M + 1, N + 1, nx), dt_f),
-            jnp.zeros((M + 1, N, nu), dt_f),
-            jnp.zeros((M + 1,), dt_f),               # cost
-            jnp.zeros((M + 1,), dt_f),               # gnorm
-            jnp.zeros((M + 1,), jnp.int32),          # iterations
-            jnp.zeros((M + 1,), bool),               # converged
+            np.zeros((M + 1, N + 1, nx), dt_f),
+            np.zeros((M + 1, N, nu), dt_f),
+            np.zeros((M + 1,), dt_f),   # cost
+            np.zeros((M + 1,), dt_f),   # gnorm
+            np.zeros((M + 1,), np.int32),  # iterations
+            np.zeros((M + 1,), bool),   # converged
         )
         state0 = jax.tree.map(_vary, state0)
         book0 = jax.tree.map(_vary, book0)
@@ -212,7 +222,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             # pass zeroes the gains but 0 * NaN is still NaN in K @ (x-x_nom)
             xs = selb(jnp.zeros_like(xs), xs)
             cost = jnp.where(has, inf, cost)
-            reg = jnp.where(has, jnp.asarray(opt.reg_init, dt_f), reg)
+            reg = jnp.where(has, np.asarray(opt.reg_init, dt_f), reg)
             it = jnp.where(has, -1, it)
             gnorm = jnp.where(has, inf, gnorm)
             stall = jnp.where(has, 0, stall)
@@ -263,7 +273,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             iacc = jnp.where(redo, iacc + it, iacc)
             rst = rst + redo.astype(jnp.int32)
             cost = jnp.where(redo, inf, cost)
-            reg = jnp.where(redo, jnp.asarray(opt.reg_init, dt_f), reg)
+            reg = jnp.where(redo, np.asarray(opt.reg_init, dt_f), reg)
             it = jnp.where(redo, -1, it)
             stall = jnp.where(redo, 0, stall)
             gnorm = jnp.where(redo, inf, gnorm)
@@ -291,7 +301,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 alr = alr + adv.astype(jnp.int32)
                 iacc = jnp.where(adv, iacc + jnp.maximum(it, 0), iacc)
                 cost = jnp.where(adv, inf, cost)
-                reg = jnp.where(adv, jnp.asarray(opt.reg_init, dt_f), reg)
+                reg = jnp.where(adv, np.asarray(opt.reg_init, dt_f), reg)
                 it = jnp.where(adv, -1, it)
                 stall = jnp.where(adv, 0, stall)
                 gnorm = jnp.where(adv, inf, gnorm)
@@ -313,7 +323,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         _, _, out = jax.lax.while_loop(cond, body, (state0, book0, out0))
         o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
         xs_q, us_q, cost_q = o_xs[:M], o_us[:M], o_cost[:M]
-        viol_q = jnp.zeros((M,), dt_f)
+        viol_q = np.zeros((M,), dt_f)
         if has_xb:
             # the loop's cost is the augmented one at the final multipliers;
             # report the true cost and the state-box violation instead (one
