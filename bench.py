@@ -22,9 +22,16 @@ docs/design.md "Roofline") is emitted under ``roofline_*`` keys so the
 headline can be judged against the v5e's HBM/VPU ceilings.
 
 Timing is *sustained* throughput: a stream of independent dispatches,
-blocked once (pipeline full, hides this image's ~20 ms remote-tunnel RTT
+blocked once (pipeline full, hides this image's ~25 ms remote-tunnel RTT
 exactly as a serving deployment or local-host TPU would).  Synchronous
 single-dispatch latency is reported as ``sync_latency_ms``.
+
+Completion barrier: ``jax.block_until_ready`` on this image's axon runtime
+reports readiness from the client-side handle BEFORE the remote computation
+finishes (measured: a ~200 ms solve "blocks" in 0.06 ms), so every timing
+here ends by *fetching a scalar* that data-depends on the results — the
+fetch cannot return before the work is done.  Cost: one on-device reduction
+plus one tunnel RTT, which a synchronous dispatch pays anyway.
 
 Run directly on this image: the default backend is the single real TPU chip.
 ``--cpu`` pins to host CPU for a smoke run.  ``--mesh N`` instead measures
@@ -170,14 +177,18 @@ def bench_mesh(args):
         psq = jnp.broadcast_to(jnp.array([10., 10., 0.], jnp.float32),
                                (M, N + 1, 3))
         usq = jnp.zeros((M, N, 2), jnp.float32)
+        def barrier(r):
+            # fetch-based completion barrier — see module docstring
+            return float(jnp.sum(r.iterations))
+
         res, stats = solve_n(x0q, psq, usq)  # compile + warmup
-        jax.block_until_ready(res.us)
+        barrier(res)
         ts = []
         for r in range(args.reps):
-            xr = x0q + jnp.float32(0.001 * (r + 1))
+            xr = x0q + jnp.float32(0.001 * (r + 1) + 0.01 * n)
             t0 = time.time()
             res, stats = solve_n(xr, psq, usq)
-            jax.block_until_ready(res.us)
+            barrier(res)
             ts.append(time.time() - t0)
         times[n] = min(ts)
         out[f"t_{n}dev_s"] = round(times[n], 3)
@@ -276,6 +287,22 @@ def main():
     psq = jnp.broadcast_to(target, (M, N + 1, 3)).astype(jnp.float32)
     us0q = jnp.zeros((M, N, 2), dtype=jnp.float32)
 
+    import itertools
+
+    _uniq = itertools.count(1)
+
+    def fresh(x):
+        """Globally unique input perturbation per timed dispatch."""
+        return x + jnp.float32(1e-4 * next(_uniq))
+
+    def barrier(*results):
+        """Fetch-based completion barrier (see module docstring): returns
+        only after every listed result is materialized on device."""
+        s = jnp.zeros((), jnp.float32)
+        for r in results:
+            s = s + jnp.sum(r.iterations).astype(jnp.float32)
+        return float(s)
+
     # ONE streaming executable; budgets are runtime scalars (traced), so the
     # fast and full-convergence modes below share this compile.
     ssolve = jax.jit(make_streaming_solver(ocp, opts, backend=kern,
@@ -284,16 +311,15 @@ def main():
     FAST = (args.iters, 0)
     t0 = time.time()
     res = ssolve(x0q, psq, us0q, *FULL)
-    jax.block_until_ready(res.us)
+    barrier(res)
     compile_s = time.time() - t0
 
     def stream(xq, us, mode, k=3):
-        """Sustained: k dispatches in flight, blocked once at the end."""
-        xs = [xq + jnp.float32(0.001 * (i + 1)) for i in range(k)]
+        """Sustained: k dispatches in flight, one fetch barrier at the end."""
+        xs = [fresh(xq) for _ in range(k)]
         t0 = time.time()
         rs = [ssolve(x, psq, us, *mode) for x in xs]
-        for rr in rs:
-            jax.block_until_ready(rr.us)
+        barrier(*rs)
         return (time.time() - t0) / k, rs[-1]
 
     # best of `reps` streams: the remote-tunnel dispatch jitter on this
@@ -308,10 +334,10 @@ def main():
     # synchronous whole-queue latency (single dispatch, blocked)
     ltimes = []
     for r in range(args.reps):
-        xr = x0q + jnp.float32(0.001 * (r + 1))
+        xr = fresh(x0q)
         t0 = time.time()
         rl = ssolve(xr, psq, us0q, *FULL)
-        jax.block_until_ready(rl.us)
+        barrier(rl)
         ltimes.append(time.time() - t0)
     sync_ms = min(ltimes) * 1e3
 
@@ -328,13 +354,13 @@ def main():
     Bb = min(args.batch, M)  # x0q[:Bb] must actually hold Bb problems
     x0b, psb, usb = x0q[:Bb], psq[:Bb], us0q[:Bb]
     rb = bsolve(x0b, psb, usb)
-    jax.block_until_ready(rb.us)
+    barrier(rb)
     btimes = []
     for r in range(args.reps):
-        xr = x0b + jnp.float32(0.001 * (r + 1))
+        xr = fresh(x0b)
         t0 = time.time()
         rb = bsolve(xr, psb, usb)
-        jax.block_until_ready(rb.us)
+        barrier(rb)
         btimes.append(time.time() - t0)
     dtb = min(btimes)
 
@@ -357,14 +383,18 @@ def main():
         lambda x, u, pp: plant(x, u, None), Nsim))
     x0c = jnp.zeros((Bc, 3), jnp.float32)
     psc = jnp.broadcast_to(target, (Nsim, Ncl + 1, 3)).astype(jnp.float32)
+
+    def cl_barrier(r):
+        return float(jnp.sum(r.xs[-1]))
+
     rc = run_cl(x0c, psc)
-    jax.block_until_ready(rc.us)
+    cl_barrier(rc)
     ctimes = []
     for r in range(args.reps):
-        xr = x0c + jnp.float32(0.001 * (r + 1))
+        xr = fresh(x0c)
         t0 = time.time()
         rc = run_cl(xr, psc)
-        jax.block_until_ready(rc.us)
+        cl_barrier(rc)
         ctimes.append(time.time() - t0)
     dtc = min(ctimes)
     err = jnp.linalg.norm(rc.xs[-1, :, :2] - target[:2], axis=-1)
@@ -377,13 +407,13 @@ def main():
         isolve = jax.jit(make_barrier_solver(ocp, fast_opts, backend=kern))
         Bi = min(2048, M)
         ri = isolve(x0q[:Bi], psq[:Bi], us0q[:Bi])
-        jax.block_until_ready(ri.us)
+        barrier(ri)
         itimes = []
         for r in range(args.reps):
-            xr = x0q[:Bi] + jnp.float32(0.001 * (r + 1))
+            xr = fresh(x0q[:Bi])
             t0 = time.time()
             ri = isolve(xr, psq[:Bi], us0q[:Bi])
-            jax.block_until_ready(ri.us)
+            barrier(ri)
             itimes.append(time.time() - t0)
         ipm = {
             "ipm_solves_per_s": round(Bi / min(itimes), 1),

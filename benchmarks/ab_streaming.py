@@ -63,17 +63,25 @@ def main():
                               tol_cost=1e-6, n_alphas=na, alpha_decay=0.4)
         solve = jax.jit(make_streaming_solver(ocp, opts, backend=kern,
                                               batch_width=width))
+        # fetch-based completion barrier: block_until_ready on the axon
+        # runtime can return before the remote computation finishes
+        # (bench.py module docstring)
+        def barrier(*rs):
+            return float(sum(jnp.sum(r.iterations) for r in rs))
+
+        import itertools
+
+        _uniq = itertools.count(1)
         t0 = time.time()
         res = solve(x0q, psq, us0q)
-        jax.block_until_ready(res.us)
+        barrier(res)
         compile_s = time.time() - t0
 
         def stream(k=3):
-            xs = [x0q + jnp.float32(0.001 * (i + 1)) for i in range(k)]
+            xs = [x0q + jnp.float32(1e-4 * next(_uniq)) for i in range(k)]
             t0 = time.time()
             rs = [solve(x, psq, us0q) for x in xs]
-            for rr in rs:
-                jax.block_until_ready(rr.us)
+            barrier(*rs)
             return (time.time() - t0) / k, rs[-1]
 
         dt, res = min((stream() for _ in range(args.reps)),

@@ -38,8 +38,11 @@ def box_bounds(lb, ub, N: Optional[int] = None):
         def bounds(x, p, k):
             return lb, ub
     else:
+        # k is traced inside scan bodies: numpy can't take a tracer index, so
+        # re-wrap as a jnp constant *inside* the trace (still lowered locally
+        # — the source array is host numpy, not a device buffer)
         def bounds(x, p, k):
-            return lb[k], ub[k]
+            return jnp.asarray(lb)[k], jnp.asarray(ub)[k]
 
     return bounds
 

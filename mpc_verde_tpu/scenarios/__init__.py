@@ -13,4 +13,5 @@ from .dynamic_bicycle import build_dynamic_bicycle, run_dynamic_bicycle
 from .frenet import build_frenet, run_frenet
 from .pendulum import build_pendulum, run_pendulum
 from .curvature import build_curvature_ltv, run_curvature_ltv
+from .fleet import build_fleet, run_fleet
 from .compare import compare_diffdrive_methods

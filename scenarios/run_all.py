@@ -50,6 +50,8 @@ def main():
         "frenet": lambda: sc.run_frenet(sc.build_frenet(n_steps=nlc)),
         "pendulum": lambda: sc.run_pendulum(sc.build_pendulum(n_steps=min(n or 1000, 1000))),
         "curvature": lambda: sc.run_curvature_ltv(sc.build_curvature_ltv(n_steps=nlc)),
+        "fleet": lambda: sc.run_fleet(sc.build_fleet(
+            B=64 if args.quick else 1024, n_steps=n)),
     }
     picks = fams if args.family == "all" else {args.family: fams[args.family]}
 

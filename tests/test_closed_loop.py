@@ -145,3 +145,20 @@ def test_batched_closed_loop_per_plant_params():
                            atol=1e-8), f"plant {b} diverged from solo run"
     # and the gains genuinely differ -> trajectories differ across plants
     assert not np.allclose(np.array(res.xs[:, 0]), np.array(res.xs[:, 1]))
+
+
+def test_fleet_final_error_distribution():
+    """Fleet demo (VERDICT r2 #10): every robot in a randomized-start fleet
+    must reach the reference's acceptance ball ||(x,y)-target|| < 0.1
+    (single_shooting_v1.py:166) — asserted on the full distribution, not
+    just the max."""
+    from mpc_verde_tpu.scenarios.fleet import build_fleet, run_fleet
+
+    m = run_fleet(build_fleet(B=96))
+    assert m["frac_reached"] == 1.0
+    assert m["final_err_max"] < 0.1
+    assert m["final_err_p99"] < 0.1
+    assert m["final_err_mean"] < 0.05
+    # most solves converge inside the budget (cold-start far-field steps may
+    # cap; the closed loop is robust to that, as the distribution asserts)
+    assert m["converged_frac"] > 0.8

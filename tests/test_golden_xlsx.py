@@ -76,17 +76,43 @@ def test_single_vs_multiple_shooting_goldens_agree(golden_run):
 
 @pytest.mark.slow
 @pytest.mark.skipif(not PEND.is_file(), reason="pendulum golden missing")
-def test_pendulum_settles_like_matlab_golden():
-    """MATLAB MPC-toolbox golden (Pend_data.xlsx, read by ploting.py): both
-    controllers should settle the cart at x=10 with the pendulum upright.
-    (The reference's own Python run differs visibly from MATLAB — this is a
-    behavioral check, not trajectory parity.)"""
+def test_pendulum_matches_matlab_golden_numerically():
+    """MATLAB MPC-toolbox golden (Pend_data.xlsx), compared on the exact
+    subsampled grid the reference's ploting.py uses (rows 1001:12150:11,
+    last 13 dropped — ploting.py:14-21).
+
+    The MATLAB controller is a *different* MPC implementation (MATLAB MPC
+    toolbox vs the reference's mpctools QP), so trajectory-level parity is
+    not expected — the reference itself only overlays plots.  The asserted
+    bounds are the MEASURED agreement of our run with the MATLAB golden
+    (2026-08-20, f64 CPU), with ~20% margin:
+
+      state      max|diff|  mean|diff|   (signal scale)
+      x          2.085      0.847        9.98
+      theta      0.363      0.050        0.68
+      final cart position gap: 0.143
+
+    Regressions in our controller (different tuning, broken move blocking)
+    move these by integer factors; the margins absorb solver-level noise.
+    """
+    import numpy as np
+
     from mpc_verde_tpu.refgen.xlsx import read_xlsx
     from mpc_verde_tpu.scenarios.pendulum import build_pendulum, run_pendulum
 
     g = read_xlsx(str(PEND))
-    x_final_matlab = g["x"][-1]
+    assert abs(g["x"][-1] - 10.0) < 1.0  # sanity on the golden itself
+
+    def sub(col):
+        v = np.asarray(g[col])[1001:12150:11]
+        return v[:-13]
+
     m = run_pendulum(build_pendulum(n_steps=1000))
-    assert abs(x_final_matlab - 10.0) < 1.0  # sanity on the golden itself
-    assert m["final_pos_error"] < 1.0
+    x = m["x"]
+    n = min(len(sub("x")), len(x))
+    dx = np.abs(x[:n, 0] - sub("x")[:n])
+    dth = np.abs(x[:n, 2] - sub("theta")[:n])
+    assert dx.max() < 2.5 and dx.mean() < 1.0, (dx.max(), dx.mean())
+    assert dth.max() < 0.45 and dth.mean() < 0.08, (dth.max(), dth.mean())
+    assert abs(x[-1, 0] - sub("x")[-1]) < 0.25   # settled within 25 cm
     assert m["max_angle"] < 1.0
