@@ -47,16 +47,208 @@ def _patterns_static(nu: int):
     return list(itertools.product((0, 1, 2), repeat=nu))
 
 
+def _backward_stage(nx: int, nu: int, use_ddp: bool, tol: float,
+                    E, Vx, Vxx, rg, ds):
+    """One Riccati stage of the backward recursion on (8, 128) tiles.
+
+    Shared by the HBM-derivative kernel (``_make_kernel``, derivatives
+    streamed from HBM) and the fused kernel (``fused.py``, derivatives
+    computed in-VMEM from the trajectory).
+
+    Args:
+      E: accessor ``E(name, e) -> (8, 128) tile`` for entry ``e`` of stage
+        derivative ``name`` (fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu,
+        dlb, dub — flattened row-major).
+      Vx, Vxx: value-function tiles (lists of nx / nx*nx).
+      rg: regularization tile; ds: per-problem DDP on/off scale tile.
+
+    Returns ``(kff [nu], K [nu][nx], Vx_n [nx], Vxx_n [nxx, symmetrized],
+    dV1_inc, dV2_inc, pgmax_stage)``.
+    """
+    patterns = _patterns_static(nu)
+
+    # ---- Q expansion ---------------------------------------------
+    Qx = [E("lx", i) + sum(E("fx", j * nx + i) * Vx[j] for j in range(nx))
+          for i in range(nx)]
+    Qu = [E("lu", a) + sum(E("fu", j * nu + a) * Vx[j] for j in range(nx))
+          for a in range(nu)]
+    VF = [[sum(Vxx[j * nx + k] * E("fx", k * nx + i) for k in range(nx))
+           for i in range(nx)] for j in range(nx)]
+    VFu = [[sum(Vxx[j * nx + k] * E("fu", k * nu + a) for k in range(nx))
+            for a in range(nu)] for j in range(nx)]
+    Qxx = [[E("lxx", i * nx + j)
+            + sum(E("fx", k * nx + i) * VF[k][j] for k in range(nx))
+            for j in range(nx)] for i in range(nx)]
+    Quu = [[E("luu", a * nu + b)
+            + sum(E("fu", k * nu + a) * VFu[k][b] for k in range(nx))
+            for b in range(nu)] for a in range(nu)]
+    Qux = [[E("lux", a * nx + i)
+            + sum(E("fu", k * nu + a) * VF[k][i] for k in range(nx))
+            for i in range(nx)] for a in range(nu)]
+
+    if use_ddp:
+        for i in range(nx):
+            for j in range(nx):
+                Qxx[i][j] = Qxx[i][j] + ds * sum(
+                    Vx[m] * E("fxx", (m * nx + i) * nx + j)
+                    for m in range(nx))
+        for a in range(nu):
+            for i in range(nx):
+                Qux[a][i] = Qux[a][i] + ds * sum(
+                    Vx[m] * E("fux", (m * nu + a) * nx + i)
+                    for m in range(nx))
+        for a in range(nu):
+            for b in range(nu):
+                Quu[a][b] = Quu[a][b] + ds * sum(
+                    Vx[m] * E("fuu", (m * nu + a) * nu + b)
+                    for m in range(nx))
+
+    for a in range(nu):
+        Quu[a][a] = Quu[a][a] + rg
+
+    lo = [E("dlb", a) for a in range(nu)]
+    hi = [E("dub", a) for a in range(nu)]
+
+    # ---- exact box QP: static active-set enumeration --------------
+    def solve_free(free, rhss):
+        """Solve Quu[F,F] X = rhs for each rhs, F a static index set.
+
+        k = 1, 2 use the closed forms (division / 2x2 adjugate —
+        bit-identical to the original nu <= 2 kernel); k = 3, 4 use
+        unrolled no-pivot Gaussian elimination (Quu is SPD + reg, so
+        leading pivots are positive).  Everything is elementwise
+        (8, 128) tile arithmetic; rhss is a list of k-length lists.
+        """
+        k = len(free)
+        if k == 1:
+            d = Quu[free[0]][free[0]]
+            return [[r[0] / d] for r in rhss]
+        if k == 2:
+            f0, f1 = free
+            det = Quu[f0][f0] * Quu[f1][f1] - Quu[f0][f1] * Quu[f1][f0]
+            return [[(r[0] * Quu[f1][f1] - r[1] * Quu[f0][f1]) / det,
+                     (r[1] * Quu[f0][f0] - r[0] * Quu[f1][f0]) / det]
+                    for r in rhss]
+        A = [[Quu[free[r]][free[c]] for c in range(k)]
+             for r in range(k)]
+        X = [r[:] for r in rhss]
+        for p in range(k):
+            ip = 1.0 / A[p][p]
+            for r in range(p + 1, k):
+                m = A[r][p] * ip
+                for c in range(p + 1, k):
+                    A[r][c] = A[r][c] - m * A[p][c]
+                for x in X:
+                    x[r] = x[r] - m * x[p]
+        for x in X:
+            for r in reversed(range(k)):
+                acc = x[r]
+                for c in range(r + 1, k):
+                    acc = acc - A[r][c] * x[c]
+                x[r] = acc / A[r][r]
+        return X
+
+    def qp_candidate(pat):
+        free = [a for a in range(nu) if pat[a] == 0]
+        v = [None] * nu
+        feas = None
+
+        def AND(x, y):
+            return y if x is None else jnp.logical_and(x, y)
+
+        clamp_val = {}
+        for a in range(nu):
+            if pat[a] == 1:
+                clamp_val[a] = lo[a]
+            elif pat[a] == 2:
+                clamp_val[a] = hi[a]
+        for a, cv in clamp_val.items():
+            v[a] = cv
+            feas = AND(feas, jnp.isfinite(cv))
+
+        K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
+             for _ in range(nu)]
+        if free:
+            # kff: Quu_FF v_F = -(Qu_F + Quu_FC v_C);
+            # K rows: Quu_FF K_F = -Qux_F (clamped rows stay zero —
+            # clamped controls don't react to state perturbations)
+            rhs_v = [-(Qu[f] + sum(Quu[f][c] * v[c]
+                                   for c in clamp_val))
+                     for f in free]
+            rhs_K = [[-Qux[f][i] for f in free] for i in range(nx)]
+            sols = solve_free(free, [rhs_v] + rhs_K)
+            for j, f in enumerate(free):
+                v[f] = sols[0][j]
+            for i in range(nx):
+                for j, f in enumerate(free):
+                    K[f][i] = sols[1 + i][j]
+
+        for a in free:
+            feas = AND(feas, (v[a] >= lo[a] - tol) & (v[a] <= hi[a] + tol))
+        grad = [Qu[a] + sum(Quu[a][b] * v[b] for b in range(nu))
+                for a in range(nu)]
+        for a in range(nu):
+            if pat[a] == 1:
+                feas = AND(feas, grad[a] >= -tol)
+            elif pat[a] == 2:
+                feas = AND(feas, grad[a] <= tol)
+        if feas is None:
+            feas = jnp.full((_SUB, _LANE), True)
+
+        obj = sum(0.5 * v[a] * Quu[a][b] * v[b]
+                  for a in range(nu) for b in range(nu)) \
+            + sum(Qu[a] * v[a] for a in range(nu))
+        obj = jnp.where(feas, obj, _BIG)
+        return v, K, obj
+
+    best_v, best_K, best_obj = qp_candidate(patterns[0])
+    for pat in patterns[1:]:
+        v, K, obj = qp_candidate(pat)
+        better = obj < best_obj
+        best_v = [jnp.where(better, v[a], best_v[a]) for a in range(nu)]
+        best_K = [[jnp.where(better, K[a][i], best_K[a][i])
+                   for i in range(nx)] for a in range(nu)]
+        best_obj = jnp.where(better, obj, best_obj)
+
+    kff = best_v
+    K = best_K
+
+    # ---- step-quality / stationarity increments -----------------------
+    dV1_inc = sum(kff[a] * Qu[a] for a in range(nu))
+    dV2_inc = sum(0.5 * kff[a] * Quu[a][b] * kff[b]
+                  for a in range(nu) for b in range(nu))
+    pgmax = None
+    for a in range(nu):
+        pg = jnp.abs(-jnp.clip(-Qu[a], lo[a], hi[a]))
+        pgmax = pg if pgmax is None else jnp.maximum(pgmax, pg)
+
+    # ---- value function update ----------------------------------------
+    Quk = [sum(Quu[a][b] * kff[b] for b in range(nu)) for a in range(nu)]
+    Vx_n = [Qx[i]
+            + sum(K[a][i] * (Quk[a] + Qu[a]) for a in range(nu))
+            + sum(Qux[a][i] * kff[a] for a in range(nu))
+            for i in range(nx)]
+    Vxx_n = [[Qxx[i][j]
+              + sum(K[a][i] * Quu[a][b] * K[b][j]
+                    for a in range(nu) for b in range(nu))
+              + sum(K[a][i] * Qux[a][j] + Qux[a][i] * K[a][j]
+                    for a in range(nu))
+              for j in range(nx)] for i in range(nx)]
+    nxx = nx * nx
+    Vxx_sym = [0.5 * (Vxx_n[e // nx][e % nx] + Vxx_n[e % nx][e // nx])
+               for e in range(nxx)]
+    return kff, K, Vx_n, Vxx_sym, dV1_inc, dV2_inc, pgmax
+
+
 def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
     """Kernel processing C stages per grid invocation (stage chunking).
 
     Per-invocation fixed costs (dispatch, pipeline setup) dominated the
     one-stage-per-step version; chunking C stages into each grid step cuts
     the sequential grid length N -> N/C while the per-stage math stays
-    identical unrolled tile arithmetic.
+    identical unrolled tile arithmetic (``_backward_stage``).
     """
     nxx = nx * nx
-    patterns = _patterns_static(nu)
     n_chunks = N // C
 
     def kernel(fx, fu, lx, lu, lxx, luu, lux, fxx, fux, fuu, dlb, dub,
@@ -64,6 +256,9 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
                kff_o, K_o, dV1_o, dV2_o, gmax_o,
                Vx_s, Vxx_s, acc_s):
         s = pl.program_id(1)  # chunk counter 0..n_chunks-1 (last stages first)
+        refs = {"fx": fx, "fu": fu, "lx": lx, "lu": lu, "lxx": lxx,
+                "luu": luu, "lux": lux, "fxx": fxx, "fux": fux, "fuu": fuu,
+                "dlb": dlb, "dub": dub}
 
         # ---- terminal init on the first chunk -----------------------------
         @pl.when(s == 0)
@@ -82,182 +277,15 @@ def _make_kernel(nx: int, nu: int, N: int, C: int, use_ddp: bool, tol: float):
         ds = ddpf[0, 0]  # per-problem DDP on/off (Gauss-Newton fallback)
 
         for cc in reversed(range(C)):
-            def E(ref, e, _cc=cc):
-                return ref[0, _cc, e]
+            def E(name, e, _cc=cc):
+                return refs[name][0, _cc, e]
 
-            # ---- Q expansion ---------------------------------------------
-            Qx = [E(lx, i) + sum(E(fx, j * nx + i) * Vx[j] for j in range(nx))
-                  for i in range(nx)]
-            Qu = [E(lu, a) + sum(E(fu, j * nu + a) * Vx[j] for j in range(nx))
-                  for a in range(nu)]
-            VF = [[sum(Vxx[j * nx + k] * E(fx, k * nx + i) for k in range(nx))
-                   for i in range(nx)] for j in range(nx)]
-            VFu = [[sum(Vxx[j * nx + k] * E(fu, k * nu + a) for k in range(nx))
-                    for a in range(nu)] for j in range(nx)]
-            Qxx = [[E(lxx, i * nx + j)
-                    + sum(E(fx, k * nx + i) * VF[k][j] for k in range(nx))
-                    for j in range(nx)] for i in range(nx)]
-            Quu = [[E(luu, a * nu + b)
-                    + sum(E(fu, k * nu + a) * VFu[k][b] for k in range(nx))
-                    for b in range(nu)] for a in range(nu)]
-            Qux = [[E(lux, a * nx + i)
-                    + sum(E(fu, k * nu + a) * VF[k][i] for k in range(nx))
-                    for i in range(nx)] for a in range(nu)]
+            kff, K, Vx, Vxx, dV1_inc, dV2_inc, pgmax = _backward_stage(
+                nx, nu, use_ddp, tol, E, Vx, Vxx, rg, ds)
+            acc[0] = acc[0] + dV1_inc
+            acc[1] = acc[1] + dV2_inc
+            acc[2] = jnp.maximum(acc[2], pgmax)
 
-            if use_ddp:
-                for i in range(nx):
-                    for j in range(nx):
-                        Qxx[i][j] = Qxx[i][j] + ds * sum(
-                            Vx[m] * E(fxx, (m * nx + i) * nx + j)
-                            for m in range(nx))
-                for a in range(nu):
-                    for i in range(nx):
-                        Qux[a][i] = Qux[a][i] + ds * sum(
-                            Vx[m] * E(fux, (m * nu + a) * nx + i)
-                            for m in range(nx))
-                for a in range(nu):
-                    for b in range(nu):
-                        Quu[a][b] = Quu[a][b] + ds * sum(
-                            Vx[m] * E(fuu, (m * nu + a) * nu + b)
-                            for m in range(nx))
-
-            for a in range(nu):
-                Quu[a][a] = Quu[a][a] + rg
-
-            lo = [E(dlb, a) for a in range(nu)]
-            hi = [E(dub, a) for a in range(nu)]
-
-            # ---- exact box QP: static active-set enumeration --------------
-            def solve_free(free, rhss):
-                """Solve Quu[F,F] X = rhs for each rhs, F a static index set.
-
-                k = 1, 2 use the closed forms (division / 2x2 adjugate —
-                bit-identical to the original nu <= 2 kernel); k = 3, 4 use
-                unrolled no-pivot Gaussian elimination (Quu is SPD + reg, so
-                leading pivots are positive).  Everything is elementwise
-                (8, 128) tile arithmetic; rhss is a list of k-length lists.
-                """
-                k = len(free)
-                if k == 1:
-                    d = Quu[free[0]][free[0]]
-                    return [[r[0] / d] for r in rhss]
-                if k == 2:
-                    f0, f1 = free
-                    det = Quu[f0][f0] * Quu[f1][f1] - Quu[f0][f1] * Quu[f1][f0]
-                    return [[(r[0] * Quu[f1][f1] - r[1] * Quu[f0][f1]) / det,
-                             (r[1] * Quu[f0][f0] - r[0] * Quu[f1][f0]) / det]
-                            for r in rhss]
-                A = [[Quu[free[r]][free[c]] for c in range(k)]
-                     for r in range(k)]
-                X = [r[:] for r in rhss]
-                for p in range(k):
-                    ip = 1.0 / A[p][p]
-                    for r in range(p + 1, k):
-                        m = A[r][p] * ip
-                        for c in range(p + 1, k):
-                            A[r][c] = A[r][c] - m * A[p][c]
-                        for x in X:
-                            x[r] = x[r] - m * x[p]
-                for x in X:
-                    for r in reversed(range(k)):
-                        s = x[r]
-                        for c in range(r + 1, k):
-                            s = s - A[r][c] * x[c]
-                        x[r] = s / A[r][r]
-                return X
-
-            def qp_candidate(pat):
-                free = [a for a in range(nu) if pat[a] == 0]
-                v = [None] * nu
-                feas = None
-
-                def AND(x, y):
-                    return y if x is None else jnp.logical_and(x, y)
-
-                clamp_val = {}
-                for a in range(nu):
-                    if pat[a] == 1:
-                        clamp_val[a] = lo[a]
-                    elif pat[a] == 2:
-                        clamp_val[a] = hi[a]
-                for a, cv in clamp_val.items():
-                    v[a] = cv
-                    feas = AND(feas, jnp.isfinite(cv))
-
-                K = [[jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(nx)]
-                     for _ in range(nu)]
-                if free:
-                    # kff: Quu_FF v_F = -(Qu_F + Quu_FC v_C);
-                    # K rows: Quu_FF K_F = -Qux_F (clamped rows stay zero —
-                    # clamped controls don't react to state perturbations)
-                    rhs_v = [-(Qu[f] + sum(Quu[f][c] * v[c]
-                                           for c in clamp_val))
-                             for f in free]
-                    rhs_K = [[-Qux[f][i] for f in free] for i in range(nx)]
-                    sols = solve_free(free, [rhs_v] + rhs_K)
-                    for j, f in enumerate(free):
-                        v[f] = sols[0][j]
-                    for i in range(nx):
-                        for j, f in enumerate(free):
-                            K[f][i] = sols[1 + i][j]
-
-                for a in free:
-                    feas = AND(feas, (v[a] >= lo[a] - tol) & (v[a] <= hi[a] + tol))
-                grad = [Qu[a] + sum(Quu[a][b] * v[b] for b in range(nu))
-                        for a in range(nu)]
-                for a in range(nu):
-                    if pat[a] == 1:
-                        feas = AND(feas, grad[a] >= -tol)
-                    elif pat[a] == 2:
-                        feas = AND(feas, grad[a] <= tol)
-                if feas is None:
-                    feas = jnp.full((_SUB, _LANE), True)
-
-                obj = sum(0.5 * v[a] * Quu[a][b] * v[b]
-                          for a in range(nu) for b in range(nu)) \
-                    + sum(Qu[a] * v[a] for a in range(nu))
-                obj = jnp.where(feas, obj, _BIG)
-                return v, K, obj
-
-            best_v, best_K, best_obj = qp_candidate(patterns[0])
-            for pat in patterns[1:]:
-                v, K, obj = qp_candidate(pat)
-                better = obj < best_obj
-                best_v = [jnp.where(better, v[a], best_v[a]) for a in range(nu)]
-                best_K = [[jnp.where(better, K[a][i], best_K[a][i])
-                           for i in range(nx)] for a in range(nu)]
-                best_obj = jnp.where(better, obj, best_obj)
-
-            kff = best_v
-            K = best_K
-
-            # ---- accumulators --------------------------------------------
-            acc[0] = acc[0] + sum(kff[a] * Qu[a] for a in range(nu))
-            acc[1] = acc[1] + sum(0.5 * kff[a] * Quu[a][b] * kff[b]
-                                  for a in range(nu) for b in range(nu))
-            pgmax = acc[2]
-            for a in range(nu):
-                pg = -jnp.clip(-Qu[a], lo[a], hi[a])
-                pgmax = jnp.maximum(pgmax, jnp.abs(pg))
-            acc[2] = pgmax
-
-            # ---- value function update -----------------------------------
-            Quk = [sum(Quu[a][b] * kff[b] for b in range(nu)) for a in range(nu)]
-            Vx_n = [Qx[i]
-                    + sum(K[a][i] * (Quk[a] + Qu[a]) for a in range(nu))
-                    + sum(Qux[a][i] * kff[a] for a in range(nu))
-                    for i in range(nx)]
-            Vxx_n = [[Qxx[i][j]
-                      + sum(K[a][i] * Quu[a][b] * K[b][j]
-                            for a in range(nu) for b in range(nu))
-                      + sum(K[a][i] * Qux[a][j] + Qux[a][i] * K[a][j]
-                            for a in range(nu))
-                      for j in range(nx)] for i in range(nx)]
-            Vx = Vx_n
-            Vxx = [0.5 * (Vxx_n[e // nx][e % nx] + Vxx_n[e % nx][e // nx])
-                   for e in range(nxx)]
-
-            # ---- outputs --------------------------------------------------
             for a in range(nu):
                 kff_o[0, cc, a] = kff[a]
                 for i in range(nx):

@@ -40,6 +40,9 @@ class _Parts:
     derivs: callable       # (xs, us, ps) -> d, gN, HN, dlb, dub
     backward: callable     # (d, gN, HN, dlb, dub, reg, ddp) -> kffs, Ks, dV1, dV2, gmax
     linesearch: callable   # (x0s, xs, us, ps, kffs, Ks) -> xs_b, us_b, new_cost
+    # fused derivs+backward single-kernel path ("pallas_fused" backend):
+    # (xs, us, ps, reg, ddp) -> kffs, Ks, dV1, dV2, gmax; None otherwise
+    fused: callable = None
 
 
 def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
@@ -247,8 +250,22 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
 
         backward = jax.vmap(backward1)
 
+    fused = None
+    if backend == "pallas_fused":
+        # single-kernel derivs+backward: stage linearization computed in
+        # VMEM from the trajectory — the derivative tensors (75% of the
+        # iteration's HBM bytes, docs/design.md Roofline) never round-trip
+        # HBM.  Numerically identical to pallas_bw by construction (shared
+        # _backward_stage).
+        from ..ops.pallas.fused import make_fused_backward
+
+        fused = make_fused_backward(
+            dynamics=F, stage_cost=l, terminal_cost=lf, control_bounds=cb,
+            N=N, nx=nx, nu=nu, npar=max(ocp.npar, 1),
+            use_ddp=opt.use_ddp, tol=opt.boxqp_tol)
+
     return _Parts(rollout=rollout, derivs=derivs, backward=backward,
-                  linesearch=ls)
+                  linesearch=ls, fused=fused)
 
 
 def _al_cvals(ocp: OCP):
@@ -454,9 +471,13 @@ def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
         def body(carry):
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
-            d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
-            kffs, Ks, dV1, dV2, gmax = parts.backward(
-                d, gN, HN, dlb, dub, reg, ddp_on.astype(cost.dtype))
+            if parts.fused is not None:
+                kffs, Ks, dV1, dV2, gmax = parts.fused(
+                    xs, us, ps, reg, ddp_on.astype(cost.dtype))
+            else:
+                d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
+                kffs, Ks, dV1, dV2, gmax = parts.backward(
+                    d, gN, HN, dlb, dub, reg, ddp_on.astype(cost.dtype))
             xs_b, us_b, new_cost = parts.linesearch(x0s, xs, us, ps, kffs, Ks)
             return _accept_and_update(opt, carry, gmax, xs_b, us_b, new_cost)
 

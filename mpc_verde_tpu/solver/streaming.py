@@ -238,9 +238,13 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             fresh = fresh_in | has
 
             # --- one shared solver iteration ------------------------------
-            d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
-            kffs, Ks, dV1, dV2, gmax = parts.backward(
-                d, gN, HN, dlb, dub, reg, ddp_on.astype(dt_f))
+            if parts.fused is not None:
+                kffs, Ks, dV1, dV2, gmax = parts.fused(
+                    xs, us, ps, reg, ddp_on.astype(dt_f))
+            else:
+                d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
+                kffs, Ks, dV1, dV2, gmax = parts.backward(
+                    d, gN, HN, dlb, dub, reg, ddp_on.astype(dt_f))
             # a fresh slot's backward ran on stale xs: zero its gains so the
             # line-search pass is exactly the plain rollout of its warm start
             fz = fresh.reshape((B, 1, 1))
