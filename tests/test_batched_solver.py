@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mpc_verde_tpu as mv
 from mpc_verde_tpu.models import unicycle
@@ -80,6 +81,7 @@ def test_quorum_exit_caps_straggler_tail():
                   np.array(r_full.us[: B // 2])).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_drained_solver_finishes_stragglers():
     # same easy/hard split; the drained solver must (a) exit the main batch
     # at quorum, (b) re-solve the hard members in the drain batch, and

@@ -193,6 +193,7 @@ def test_single_shooting_matches_structured_ilqr():
     np.testing.assert_allclose(float(sol["f"]), float(res.cost), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_multiple_shooting_defect_constraints():
     """multiple_shooting_casadi.py shape: lifted vars, defect equalities."""
     states, controls, rhs = _diffdrive_symbols()
@@ -302,6 +303,7 @@ def test_rk4_quadrature_function_composition():
     assert qf == pytest.approx(float(qf_ref), rel=1e-10)
 
 
+@pytest.mark.slow
 def test_nlpsol_batch_solve():
     """batch_solve: one device call solves many instances (vmapped IPOPT)."""
     f, ff, solver, lbx, ubx = _build_ss_v1_solver()

@@ -28,6 +28,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(600)
 def test_two_process_distributed_solve_matches_single_process():
     port = _free_port()

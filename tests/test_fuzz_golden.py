@@ -70,7 +70,10 @@ def _scipy_golden(A, B, c, x0, N, nu, ub):
     return g.fun, g.x.reshape(N, nu)
 
 
-@pytest.mark.parametrize("nx,nu,N", [(2, 1, 5), (3, 2, 12), (4, 2, 25)])
+@pytest.mark.parametrize("nx,nu,N", [
+    (2, 1, 5), (3, 2, 12),
+    pytest.param(4, 2, 25, marks=pytest.mark.slow),
+])
 def test_random_boxed_lq_matches_scipy(nx, nu, N):
     rng = np.random.default_rng(100 * nx + nu + N)
     B_batch = 6

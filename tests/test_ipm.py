@@ -34,6 +34,7 @@ def _diffdrive_ocp():
                       jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
 
 
+@pytest.mark.slow
 def test_barrier_matches_exact_ddp_on_diffdrive():
     ocp = _diffdrive_ocp()
     B = 6

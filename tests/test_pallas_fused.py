@@ -46,8 +46,8 @@ def _ocp(bounded=True, use_terminal=True):
 
 @pytest.mark.parametrize("bounded,use_ddp,use_terminal", [
     (True, True, True),
-    (True, False, True),
-    (False, True, False),
+    pytest.param(True, False, True, marks=pytest.mark.slow),
+    pytest.param(False, True, False, marks=pytest.mark.slow),
 ])
 def test_fused_matches_xla_backward(rng, bounded, use_ddp, use_terminal):
     ocp = _ocp(bounded, use_terminal)

@@ -84,7 +84,11 @@ def _random_problem(rng, nx, nu):
     return d, dlb, dub, gN, HN, reg
 
 
-@pytest.mark.parametrize("nx,nu", [(3, 1), (3, 2), (4, 3), (5, 4)])
+@pytest.mark.parametrize("nx,nu", [
+    (3, 1), (3, 2),
+    pytest.param(4, 3, marks=pytest.mark.slow),
+    pytest.param(5, 4, marks=pytest.mark.slow),
+])
 def test_kernel_matches_reference_interpret(rng, nx, nu):
     from jax.experimental.pallas import tpu as pltpu
     from mpc_verde_tpu.ops.pallas.riccati import riccati_backward_pallas

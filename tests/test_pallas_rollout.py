@@ -114,6 +114,7 @@ def test_kernel_handles_unbounded_controls(data):
     assert np.allclose(np.array(c_p), np.array(c_r, np.float32), rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_full_pallas_solver_matches_xla_backend():
     """End-to-end: backend="pallas" (both kernels, interpret) vs "xla"."""
     F, l, lf, cb = _problem()
@@ -140,6 +141,7 @@ def test_full_pallas_solver_matches_xla_backend():
     assert np.allclose(np.array(r_p.us), np.array(r_x.us), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_full_pallas_solver_al_state_bounds():
     """backend="pallas" on a state-bounded OCP: the AL multipliers ride the
     param tensor straight through both kernels (interpret mode)."""

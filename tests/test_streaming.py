@@ -8,6 +8,7 @@ trajectories bitwise identical.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mpc_verde_tpu as mv
 from mpc_verde_tpu.models import unicycle
@@ -244,6 +245,7 @@ def test_streaming_al_requires_al_iters():
                               backend="xla")
 
 
+@pytest.mark.slow
 def test_streaming_runtime_budget_overrides_match_static():
     """max_iters / restarts passed at call time (traced data) must reproduce
     the build-time-static behavior exactly — one executable, every serving
