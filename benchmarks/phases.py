@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--batch", default="1024,4096")
     ap.add_argument("--horizon", type=int, default=40)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--k", type=int, default=20,
+    ap.add_argument("--k", type=int, default=50,
                     help="chained calls per timed dispatch")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -94,6 +94,11 @@ def main():
         eps = lambda s: s * jnp.float32(1e-20)
 
         phases = {
+            # null: chain scaffolding + dispatch RTT alone — subtract from
+            # every phase reading (the ~25 ms tunnel RTT / K floor)
+            "null": (chain(lambda a: (a * 1.000001,),
+                           lambda a, s, i: (a[0] + eps(s),)),
+                     (reg,)),
             "rollout": (chain(parts.rollout,
                               lambda a, s, i: (a[0] + eps(s), a[1], a[2])),
                         (x0, us, ps)),
@@ -126,8 +131,12 @@ def main():
                 ts.append(time.time() - t0)
             per_call = min(ts) / K
             row[name + "_us"] = round(per_call * 1e6, 1)
-            if name != "rollout":
+            if name not in ("rollout", "null"):
                 total += per_call
+        null = row.get("null_us", 0.0) * 1e-6
+        total = max(total - 3 * null, 1e-9)
+        for name in ("rollout", "derivs", "backward", "linesearch"):
+            row[name + "_us"] = round(row[name + "_us"] - row["null_us"], 1)
         row["iter_body_us"] = round(total * 1e6, 1)
         row["iters_per_s_bound"] = round(1.0 / total, 1)
         row["solves_per_s_bound_15it"] = round(B / (15 * total), 1)

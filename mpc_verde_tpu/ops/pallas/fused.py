@@ -38,7 +38,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..linearize import dynamics_hessians, linearize_dynamics, quadratize_cost
 from .riccati import (_CELL, _LANE, _SUB, _backward_stage, _from_tiles,
                       _to_tiles, _to_tiles_static)
 from .rollout import _f32_out, _hoist_consts, _tile2
@@ -146,18 +145,43 @@ def make_fused_backward(*, dynamics: Callable, stage_cost: Callable,
     first/second derivatives are traced host-side once and inlined into the
     kernel.  B is padded internally to a multiple of 1024.
     """
-    lin = linearize_dynamics(dynamics)
-    quad = quadratize_cost(stage_cost)
-    hess = dynamics_hessians(dynamics) if use_ddp else None
-
+    # One nested-jacfwd "pyramid" computes every first- AND second-order
+    # stage derivative in a single traced pass over z = [x; u]: J of the
+    # stacked [F(z); l(z)] gives (fx, fu, lx, lu); its jacfwd (has_aux
+    # returning J itself) gives the full second-order block (lxx, luu, lux,
+    # fxx, fux, fuu).  vs. three separate linearize/quadratize/hessian
+    # traces this shrinks the tiled kernel body ~2x (1260 -> 681 tile eqns
+    # at nx=3/nu=2), which is what keeps the Mosaic compile tractable;
+    # numerics match ops/linearize.py exactly (tests/test_pallas_fused.py).
     def dfun(x, u, p):
-        fx, fu = lin(x, u, p)
-        lx, lu, lxx, luu, lux = quad(x, u, p)
-        out = {"fx": fx, "fu": fu, "lx": lx, "lu": lu,
-               "lxx": lxx, "luu": luu, "lux": lux}
+        z = jnp.concatenate([x, u])
+
+        def Fl(zz):
+            return jnp.concatenate([dynamics(zz[:nx], zz[nx:], p),
+                                    stage_cost(zz[:nx], zz[nx:], p)[None]])
+
+        def inner(zz):
+            J = jax.jacfwd(Fl)(zz)
+            return J, J
+
         if use_ddp:
-            fxx, fux, fuu = hess(x, u, p)
-            out.update(fxx=fxx, fux=fux, fuu=fuu)
+            dJ, J = jax.jacfwd(inner, has_aux=True)(z)  # (nx+1,nz,nz)
+        else:
+            def lJ(zz):
+                J = jax.jacfwd(Fl)(zz)
+                return J[nx], J  # only the cost row needs second order
+
+            dl, J = jax.jacfwd(lJ, has_aux=True)(z)     # (nz, nz)
+        out = {"fx": J[:nx, :nx], "fu": J[:nx, nx:],
+               "lx": J[nx, :nx], "lu": J[nx, nx:]}
+        if use_ddp:
+            out.update(lxx=dJ[nx, :nx, :nx], luu=dJ[nx, nx:, nx:],
+                       lux=dJ[nx, nx:, :nx],
+                       fxx=dJ[:nx, :nx, :nx], fux=dJ[:nx, nx:, :nx],
+                       fuu=dJ[:nx, nx:, nx:])
+        else:
+            out.update(lxx=dl[:nx, :nx], luu=dl[nx:, nx:],
+                       lux=dl[nx:, :nx])
         return out
 
     def tfun(x, p):
