@@ -12,20 +12,23 @@ This kernel fuses the whole line search into ONE launch per solver iteration:
   * **Batch-major tiles**: like the Riccati kernel, each (8, 128) VPU tile
     holds one vector/matrix entry for 1024 independent problems; the batch is
     the vector axis (``_to_tiles`` layout shared with ``riccati.py``).
-  * **Alphas as a sequential grid dimension**: grid = (batch_cells, A + 1).
-    Steps 0..A-1 roll one step length each (cost only), carrying the
-    per-problem running best (first minimum, matching ``jnp.argmin``) in
-    VMEM scratch; step A re-rolls the winning alpha and materializes the
-    trajectory.  One rollout body serves both phases — the winner pass just
-    swaps the broadcast scalar alpha for the per-problem best-alpha tile.
-    (Round-2 history: vectorizing alphas as a leading (A, nx, 8, 128)
-    tensor axis made the Mosaic program ~A x larger and pushed compile
-    past 9 minutes; as a grid dimension the per-step body is single-alpha
-    sized, the stage data stays VMEM-resident across grid steps — the
-    index maps are constant in the alpha index, so nothing re-fetches —
-    and total arithmetic is identical.)
   * **Stages as an in-kernel ``fori_loop``** over VMEM-resident stage data —
     no per-step kernel dispatch, no HBM round trips.
+  * **Three alpha layouts** (``mode``), measured round 3 on v5e
+    (docs/design.md "line-search kernel layouts"):
+    "vector" (default) vmaps the A step lengths over a leading array axis —
+    smallest program, sequential depth 2N (cost sweep + winner re-roll);
+    "unrolled" python-unrolls them (same math, A x program size, 766 s
+    Mosaic compile); "grid" makes alpha a sequential grid dimension —
+    compiles fastest (20 s) but serializes A+1 full rollouts per batch
+    cell on the single tensor core (measured 18x slower end-to-end than
+    the XLA path, which keeps alpha vectorized in-register).
+
+STATUS: experimental.  Semantics are validated (interpret-mode tests +
+on-chip parity vs the XLA path) but every layout wide enough to win also
+pushes the Mosaic compiler into multi-minute compile times on the current
+toolchain, so ``backend="pallas_bw"`` (XLA line search) remains the
+production default; see docs/design.md for the full study.
 
 The user's dynamics/cost/bounds callables (plain jax functions of single
 vectors, e.g. the RK4-discretized unicycle of ``Casadi/single_shooting_v1.py``)
@@ -335,13 +338,221 @@ def _make_kernel(nx: int, nu: int, N: int, A: int,
 _INF = float(np.finfo(np.float32).max)
 
 
+def _make_kernel_unrolled(nx: int, nu: int, N: int, A: int,
+                          alphas: Tuple[float, ...],
+                          dyn_p: Callable, cost_p: Callable, term_p: Callable,
+                          cb_p: Callable, n_consts: Tuple[int, ...],
+                          const_shapes):
+    """Alpha-unrolled kernel: grid = (G,), ONE pass over the stages rolls
+    every step length as unrolled register copies of the state tile.
+
+    vs the alpha-as-grid layout (``_make_kernel``): that one serializes
+    A + 1 full N-step rollouts per batch cell on the single tensor core —
+    measured 18x slower end-to-end than the XLA path, which keeps alpha as
+    an in-register vectorized axis.  Here alpha is a *python-level* unroll
+    inside the stage ``fori_loop`` (A state tiles live simultaneously), so
+    the sequential depth is N + N (cost sweep + winner re-roll), the same
+    as XLA's, while each step is one fused VPU body with no per-step
+    dispatch — the same property that makes the Riccati kernel's grid
+    steps ~70x cheaper than XLA scan steps (benchmarks/phases.py).
+    """
+    nd, nc, nt, nb = n_consts
+    total = nd + nc + nt + nb
+
+    F2 = _f32_out(_tile2(dyn_p, 3 + nd))
+    l2 = _f32_out(_tile2(cost_p, 3 + nc))
+    lf2 = _f32_out(_tile2(term_p, 2 + nt))
+    cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
+
+    def kernel(*refs):
+        (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
+        const_rs = refs[6:6 + total]
+        xs_o, us_o, cost_o = refs[6 + total:]
+
+        cl = [r[0].reshape(tuple(sh) + (_SUB, _LANE))
+              for r, sh in zip(const_rs, const_shapes)]
+        c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
+        c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
+
+        def ld(ref, k):
+            return ref[0, pl.ds(k, 1)][0]           # (entries, 8, 128)
+
+        x0 = x0_r[0]                                # (nx, 8, 128)
+        pN = ps_r[0, N]
+
+        def feedback(x, x_nom, u_nom, kff, Kf, at):
+            dx = x - x_nom
+            Kdx = jnp.stack(
+                [sum(Kf[a * nx + i] * dx[i] for i in range(nx))
+                 for a in range(nu)], axis=0)
+            return u_nom + at[None] * kff + Kdx
+
+        # ---- phase 1: cost sweep, all alphas as unrolled copies ----------
+        def step(k, carry):
+            xs_a, cost_a = carry                    # tuples of A tiles
+            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
+            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
+            xs_n, cost_n = [], []
+            for a in range(A):
+                at = jnp.full((_SUB, _LANE), jnp.float32(alphas[a]))
+                u = feedback(xs_a[a], x_nom, u_nom, kff, Kf, at)
+                lb, ub = cb2(xs_a[a], p, k, *c_cb)
+                u = jnp.clip(u, lb, ub)
+                cost_n.append(cost_a[a] + l2(xs_a[a], u, p, *c_cost))
+                xs_n.append(F2(xs_a[a], u, p, *c_dyn))
+            return tuple(xs_n), tuple(cost_n)
+
+        z = jnp.zeros((_SUB, _LANE), jnp.float32)
+        xs_a, cost_a = jax.lax.fori_loop(
+            0, N, step, (tuple(x0 for _ in range(A)),
+                         tuple(z for _ in range(A))))
+        cost_a = [cost_a[a] + lf2(xs_a[a], pN, *c_term) for a in range(A)]
+
+        # first-minimum tie-breaking, matching jnp.argmin in the XLA path
+        best_c = cost_a[0]
+        best_a = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
+        for a in range(1, A):
+            better = cost_a[a] < best_c
+            best_c = jnp.where(better, cost_a[a], best_c)
+            best_a = jnp.where(better, jnp.float32(alphas[a]), best_a)
+
+        # ---- phase 2: winner re-roll, materialize ------------------------
+        def step2(k, x):
+            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
+            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
+            u = feedback(x, x_nom, u_nom, kff, Kf, best_a)
+            lb, ub = cb2(x, p, k, *c_cb)
+            u = jnp.clip(u, lb, ub)
+            xs_o[0, pl.ds(k, 1)] = x[None]
+            us_o[0, pl.ds(k, 1)] = u[None]
+            return F2(x, u, p, *c_dyn)
+
+        xN = jax.lax.fori_loop(0, N, step2, x0)
+        xs_o[0, pl.ds(N, 1)] = xN[None]
+        cost_o[0] = best_c
+
+    return kernel
+
+
+def _make_kernel_vector(nx: int, nu: int, N: int, A: int,
+                        alphas: Tuple[float, ...],
+                        dyn_p: Callable, cost_p: Callable, term_p: Callable,
+                        cb_p: Callable, n_consts: Tuple[int, ...],
+                        const_shapes):
+    """Alpha-VECTORIZED kernel: grid = (G,), the A step lengths ride a
+    leading array axis through every tile op.
+
+    The python-unrolled variant (``_make_kernel_unrolled``) duplicates the
+    ~150-op stage body A times, and Mosaic compile time is superlinear in
+    program size (measured 766 s at A=8, N=40).  Here the per-alpha math is
+    ``jax.vmap``-ed over a leading axis instead: each traced op is rank-4
+    ``(A, ..., 8, 128)``, which Mosaic expands into per-register ops *after*
+    the expensive layout passes — the program stays ~1 stage body long, the
+    arithmetic is identical.  Sequential depth is N (sweep) + N (winner
+    re-roll), matching the XLA path, with zero per-step dispatch cost.
+    """
+    nd, nc, nt, nb = n_consts
+    total = nd + nc + nt + nb
+
+    # tile-batched callables; ..._a variants add a leading alpha axis on
+    # the state/control arguments (params and consts broadcast)
+    F2 = _f32_out(_tile2(dyn_p, 3 + nd))
+    l2 = _f32_out(_tile2(cost_p, 3 + nc))
+    lf2 = _f32_out(_tile2(term_p, 2 + nt))
+    cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
+    F2a = jax.vmap(F2, in_axes=(0, 0, None) + (None,) * nd)
+    l2a = jax.vmap(l2, in_axes=(0, 0, None) + (None,) * nc)
+    lf2a = jax.vmap(lf2, in_axes=(0, None) + (None,) * nt)
+    cb2a = jax.vmap(cb2, in_axes=(0, None, None) + (None,) * nb)
+
+    def kernel(*refs):
+        (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
+        const_rs = refs[6:6 + total]
+        xs_o, us_o, cost_o = refs[6 + total:]
+
+        cl = [r[0].reshape(tuple(sh) + (_SUB, _LANE))
+              for r, sh in zip(const_rs, const_shapes)]
+        c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
+        c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
+
+        def ld(ref, k):
+            return ref[0, pl.ds(k, 1)][0]           # (entries, 8, 128)
+
+        x0 = x0_r[0]                                # (nx, 8, 128)
+        pN = ps_r[0, N]
+        # per-alpha step lengths as a stacked (A, 1, 8, 128) tile constant,
+        # built from python floats (no captured array constants)
+        a_vec = jnp.stack([jnp.full((1, _SUB, _LANE), jnp.float32(alphas[a]))
+                           for a in range(A)], axis=0)
+
+        def feedback_a(X, x_nom, u_nom, kff, Kf):
+            # X: (A, nx, 8, 128) -> (A, nu, 8, 128)
+            dx = X - x_nom[None]
+            Kdx = jnp.stack(
+                [sum(Kf[a * nx + i][None] * dx[:, i] for i in range(nx))
+                 for a in range(nu)], axis=1)
+            return u_nom[None] + a_vec * kff[None] + Kdx
+
+        # ---- phase 1: cost sweep, alphas vectorized ----------------------
+        def step(k, carry):
+            X, C = carry             # (A, nx, 8, 128), (A, 8, 128)
+            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
+            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
+            U = feedback_a(X, x_nom, u_nom, kff, Kf)
+            lb, ub = cb2a(X, p, k, *c_cb)
+            U = jnp.clip(U, lb, ub)
+            return F2a(X, U, p, *c_dyn), C + l2a(X, U, p, *c_cost)
+
+        X0 = jnp.broadcast_to(x0[None], (A,) + x0.shape)
+        C0 = jnp.zeros((A, _SUB, _LANE), jnp.float32)
+        X, C = jax.lax.fori_loop(0, N, step, (X0, C0))
+        C = C + lf2a(X, pN, *c_term)
+
+        # first-minimum tie-breaking, matching jnp.argmin in the XLA path
+        best_c = C[0]
+        best_a = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
+        for a in range(1, A):
+            better = C[a] < best_c
+            best_c = jnp.where(better, C[a], best_c)
+            best_a = jnp.where(better, jnp.float32(alphas[a]), best_a)
+
+        # ---- phase 2: winner re-roll, materialize ------------------------
+        def step2(k, x):
+            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
+            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
+            dx = x - x_nom
+            Kdx = jnp.stack(
+                [sum(Kf[a * nx + i] * dx[i] for i in range(nx))
+                 for a in range(nu)], axis=0)
+            u = u_nom + best_a[None] * kff + Kdx
+            lb, ub = cb2(x, p, k, *c_cb)
+            u = jnp.clip(u, lb, ub)
+            xs_o[0, pl.ds(k, 1)] = x[None]
+            us_o[0, pl.ds(k, 1)] = u[None]
+            return F2(x, u, p, *c_dyn)
+
+        xN = jax.lax.fori_loop(0, N, step2, x0)
+        xs_o[0, pl.ds(N, 1)] = xN[None]
+        cost_o[0] = best_c
+
+    return kernel
+
+
 def linesearch_forward_pallas(
         x0, xs_nom, us_nom, ps, kffs, Ks, *,
         alphas: Sequence[float],
         dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
         control_bounds: Callable, nx: int, nu: int,
-        interpret: bool = False):
+        mode: str = "vector", interpret: bool = False):
     """Fused batched line search on TPU.
+
+    ``mode``: "vector" (default) vectorizes the alpha sweep over a leading
+    array axis inside one pass over the stages (grid = (G,), sequential
+    depth 2N, ~1-stage-body program size); "unrolled" python-unrolls the
+    alphas (same math/depth, A x program size -- 766 s Mosaic compile at
+    A=8, ablation only); "grid" is the alpha-as-grid layout (grid =
+    (G, A+1), sequential depth (A+1)N -- measured 18x slower end-to-end,
+    ablation only).
 
     Args:
       x0: (B, nx) initial states.
@@ -398,16 +609,24 @@ def linesearch_forward_pallas(
         args.append(jnp.broadcast_to(
             jnp.asarray(c).reshape(1, e, 1, 1), (G, e, _SUB, _LANE)))
 
-    # index maps constant in the alpha grid index: stage data stays
-    # VMEM-resident across the A + 1 sequential passes (no re-fetch)
+    # index maps constant in every non-batch grid index: stage data stays
+    # VMEM-resident across sequential passes (no re-fetch).  Arity matches
+    # the grid rank (1-D for "unrolled", 2-D for "grid").
+    if mode in ("vector", "unrolled"):
+        im5 = lambda g: (g, 0, 0, 0, 0)
+        im4 = lambda g: (g, 0, 0, 0)
+        im3 = lambda g: (g, 0, 0)
+    else:
+        im5 = lambda g, s: (g, 0, 0, 0, 0)
+        im4 = lambda g, s: (g, 0, 0, 0)
+        im3 = lambda g, s: (g, 0, 0)
+
     def stage_spec(n, entries):
-        return pl.BlockSpec((1, n, entries, _SUB, _LANE),
-                            lambda g, s: (g, 0, 0, 0, 0),
+        return pl.BlockSpec((1, n, entries, _SUB, _LANE), im5,
                             memory_space=pltpu.VMEM)
 
     def static_spec(entries):
-        return pl.BlockSpec((1, entries, _SUB, _LANE),
-                            lambda g, s: (g, 0, 0, 0),
+        return pl.BlockSpec((1, entries, _SUB, _LANE), im4,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -418,8 +637,7 @@ def linesearch_forward_pallas(
     out_specs = [
         stage_spec(N + 1, nx),
         stage_spec(N, nu),
-        pl.BlockSpec((1, _SUB, _LANE), lambda g, s: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), im3, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((G, N + 1, nx, _SUB, _LANE), jnp.float32),
@@ -427,23 +645,41 @@ def linesearch_forward_pallas(
         jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
     ]
 
-    kernel = _make_kernel(nx, nu, N, A, tuple(float(a) for a in alphas),
-                          dyn_p, cost_p, term_p, cb_p, n_consts, const_shapes)
-    xs_t, us_t, cost_t = pl.pallas_call(
-        kernel,
-        grid=(G, A + 1),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best alpha
-            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best cost
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*args)
+    if mode in ("vector", "unrolled"):
+        mk = _make_kernel_vector if mode == "vector" else _make_kernel_unrolled
+        kernel = mk(
+            nx, nu, N, A, tuple(float(a) for a in alphas),
+            dyn_p, cost_p, term_p, cb_p, n_consts, const_shapes)
+        xs_t, us_t, cost_t = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*args)
+    else:
+        kernel = _make_kernel(nx, nu, N, A, tuple(float(a) for a in alphas),
+                              dyn_p, cost_p, term_p, cb_p, n_consts,
+                              const_shapes)
+        xs_t, us_t, cost_t = pl.pallas_call(
+            kernel,
+            grid=(G, A + 1),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best alpha
+                pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best cost
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*args)
 
     xs = _from_tiles(xs_t, B, nx)[:B0]
     us = _from_tiles(us_t, B, nu)[:B0]

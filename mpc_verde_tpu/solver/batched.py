@@ -398,20 +398,28 @@ def _accept_and_update(opt: ILQROptions, carry, gmax, xs_b, us_b, new_cost,
 
 
 def make_batched_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
-                             backend: str = "pallas",
+                             backend: str = "pallas_bw",
                              linesearch: str = "materialize"):
     """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a batch.
 
     Args have a leading batch axis: x0s (B, nx), params (B, N+1, npar),
     us_init (B, N, nu).  ``backend`` selects the kernel set:
-      * "pallas"    — Riccati backward kernel + fused line-search forward
-                      kernel (both sequential hot loops as single launches);
-      * "pallas_bw" — Riccati backward kernel, XLA scan line search;
-      * "xla"       — pure vmapped-XLA (CPU verification path);
+      * "pallas_bw" (default) — Riccati backward Pallas kernel, XLA scan
+                      line search.  The measured production path.
+      * "pallas"    — pallas_bw plus the fused line-search forward kernel.
+                      EXPERIMENTAL: numerically validated (interpret-mode +
+                      on-chip parity), but the Mosaic compile of the
+                      alpha-wide forward body takes minutes on the current
+                      toolchain (docs/design.md "line-search kernel
+                      layouts"), so it is not the default.
+      * "pallas_fused" — single-kernel derivs+backward (stage linearization
+                      computed in VMEM; same compile-wall caveat).
+      * "xla"       — pure vmapped-XLA (CPU verification path; any nu);
       * "scan"      — associative-scan parallel-in-N backward (O(log N)
                       depth; Gauss-Newton, unbounded controls — the
-                      long-horizon mode, see docs/design.md crossover
-                      table).
+                      long-horizon *method* analogue; measured slower than
+                      pallas_bw at every N on v5e, see docs/design.md
+                      crossover table).
 
     ``linesearch`` selects the XLA line-search strategy (ignored when the
     fused "pallas" forward kernel is active):
