@@ -222,9 +222,10 @@ def main():
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=2048)
     # queue length per dispatch: large enough to amortize pipeline head/tail
-    # (measured: 16384 -> 83.3k, 32768 -> 90.4k full-convergence solves/s;
-    # the head/tail and acceptance-glue overheads amortize with queue depth)
-    ap.add_argument("--queue", type=int, default=32768)
+    # (measured full-convergence solves/s: 16k -> 83.3k, 32k -> 90.4k,
+    # 64k -> 98.8k, 128k -> 101.5k; the head/tail and acceptance-glue
+    # overheads amortize with queue depth)
+    ap.add_argument("--queue", type=int, default=131072)
     ap.add_argument("--horizon", type=int, default=40)
     ap.add_argument("--iters", type=int, default=40,
                     help="fast-mode DDP iteration budget")
