@@ -566,6 +566,12 @@ def make_drained_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                         drain_max_iters: int | None = None):
     """Two-phase batched solve: quorum exit + straggler drain.
 
+    SUPERSEDED for serving: the streaming solver with in-place restarts
+    (``solver.streaming.make_streaming_solver(..., restarts=...)``) reaches
+    100% convergence at ~4x this wrapper's throughput with zero extra host
+    round-trips (docs/design.md).  Kept as the fixed-batch ablation and for
+    latency-bounded single-dispatch use where a queue does not fit.
+
     A batched ``while_loop``'s wall time is set by its *slowest* member: with
     ~1% of a 4096-problem batch crawling to ``max_iters``, the other 99%
     (done by the p99 iteration count) sit frozen while every loop iteration
