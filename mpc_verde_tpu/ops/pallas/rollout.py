@@ -131,10 +131,17 @@ class _CSE:
 
     @staticmethod
     def _params_key(params):
+        # Key on the param VALUES, not their hashes: dict lookup falls back
+        # to == on hash collision, whereas pre-hashing bakes collisions into
+        # the key (hash(-1) == hash(-2), so integer_pow[y=-1] and
+        # integer_pow[y=-2] would merge — any jacfwd of a 1/x term emits
+        # both and would silently evaluate wrong).
         try:
-            return tuple(sorted((k, hash(v)) for k, v in params.items()))
+            key = tuple(sorted(params.items()))
+            hash(key)  # probe: unhashable (sub-jaxprs etc.) -> don't memoize
+            return key
         except TypeError:
-            return None  # unhashable (sub-jaxprs etc.): don't memoize
+            return None
 
 
 def _eval_jaxpr_nodot(jaxpr, consts, *args, _cse: _CSE | None = None):
@@ -151,8 +158,12 @@ def _eval_jaxpr_nodot(jaxpr, consts, *args, _cse: _CSE | None = None):
 
     def inkey(v):
         if isinstance(v, Literal):
+            # the VALUE rides in the key (== resolves hash collisions);
+            # unhashable literal values fall back to object identity, which
+            # only ever misses CSE, never falsely merges
             try:
-                return ("lit", str(v.aval), hash(v.val))
+                hash(v.val)
+                return ("lit", str(v.aval), v.val)
             except TypeError:
                 return ("lit", str(v.aval), id(v.val))
         return cse.num(env[v])
@@ -543,16 +554,22 @@ def linesearch_forward_pallas(
         alphas: Sequence[float],
         dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
         control_bounds: Callable, nx: int, nu: int,
-        mode: str = "vector", interpret: bool = False):
+        mode: str = "grid", interpret: bool = False):
     """Fused batched line search on TPU.
 
-    ``mode``: "vector" (default) vectorizes the alpha sweep over a leading
-    array axis inside one pass over the stages (grid = (G,), sequential
-    depth 2N, ~1-stage-body program size); "unrolled" python-unrolls the
-    alphas (same math/depth, A x program size -- 766 s Mosaic compile at
-    A=8, ablation only); "grid" is the alpha-as-grid layout (grid =
-    (G, A+1), sequential depth (A+1)N -- measured 18x slower end-to-end,
-    ablation only).
+    ``mode`` (on-chip Mosaic compile status from the round-3 layout study,
+    benchmarks/RESULTS_r03.md):
+      "grid" (default) — alpha-as-grid layout (grid = (G, A+1), sequential
+        depth (A+1)N): the only mode observed to compile on-chip (20 s);
+        measured 18x slower end-to-end than the XLA path, ablation only.
+      "vector" — alphas vectorized over a leading array axis (grid = (G,),
+        depth 2N, ~1-stage-body program): compile never finished on-chip
+        (killed at >5 min); fine under interpret=True for tests.
+      "sublane" — alphas packed into the 8-sublane tile axis (tile = A
+        alphas x 128 problems, grid = (G*8,)): the kernel body stays the
+        single-alpha program; round-4 layout experiment (VERDICT r3 #3).
+      "unrolled" — python-unrolled alphas (A x program size, 766 s Mosaic
+        compile at A=8): ablation only.
 
     Args:
       x0: (B, nx) initial states.

@@ -71,6 +71,39 @@ def data():
     return x0s, xs, us, ps, kffs, Ks
 
 
+def test_cse_distinguishes_hash_colliding_params():
+    """Regression (ADVICE r3): the CSE memo must key on param VALUES, not
+    their hashes.  hash(-1) == hash(-2) in CPython, so integer_pow[y=-1]
+    and integer_pow[y=-2] on the same operand would merge under pre-hashed
+    keys — and jacfwd of any 1/x term emits both."""
+    from mpc_verde_tpu.ops.pallas.rollout import _hoist_consts
+
+    def f(x):
+        return jnp.reciprocal(x[0]) + x[0] ** -2
+
+    pure, consts = _hoist_consts(f, jnp.array([2.0]))
+    val = float(pure(jnp.array([2.0]), *consts))
+    assert np.isclose(val, 0.75), val  # 1/2 + 1/4; the bug returned 1.0
+
+    # derivative chain (the real-world trigger): d/dx (1/x + x^-2) at x=2
+    # = -1/4 - 2/8 = -0.5
+    g = jax.grad(lambda x: jnp.reciprocal(x) + x ** -2)
+    pure_g, consts_g = _hoist_consts(g, jnp.array(2.0))
+    assert np.isclose(float(pure_g(jnp.array(2.0), *consts_g)), -0.5)
+
+
+def test_cse_distinguishes_hash_colliding_literals():
+    """Literal operands -1.0 and -2.0 (or any hash-colliding pair) must not
+    share a memo entry."""
+    from mpc_verde_tpu.ops.pallas.rollout import _hoist_consts
+
+    def f(x):
+        return x[0] * (-1.0) + x[0] * (-2.0)
+
+    pure, consts = _hoist_consts(f, jnp.array([3.0]))
+    assert np.isclose(float(pure(jnp.array([3.0]), *consts)), -9.0)
+
+
 def test_kernel_matches_xla_linesearch(data):
     F, l, lf, cb = _problem()
     x0s, xs, us, ps, kffs, Ks = data
