@@ -9,13 +9,27 @@ The reference dumps trajectories for later comparison:
   * lane-change closed loops: ``dados2.csv`` = [x1, x2, x3, u, x, y, yref,
     phiref, rref, deltaref] (``Trajectory Tracking/Phiref.py:379-381``)
 
-This image has no xlsx writer, so exports are CSV with the same columns —
+Paths ending in ``.xlsx`` are written with the stdlib writer
+(``refgen.xlsx.write_xlsx``) in the reference's pandas ``to_excel`` shape
+(leading unnamed index column); anything else is CSV with the same columns —
 ``leitordados.py``-style comparison reads either.
 """
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from ..refgen.xlsx import read_xlsx, write_xlsx
+
+
+def _write_table(path: str, cols: dict):
+    if str(path).endswith(".xlsx"):
+        # index column matches the committed exemplo goldens' layout
+        # (Casadi/single_shooting_v2.py:292-301 uses the to_excel default)
+        write_xlsx(path, cols, index=True)
+    else:
+        pd.DataFrame(cols).to_csv(path, index=False)
+    return path
 
 
 def export_run(path: str, xs, us, times, state_names=None, control_names=None):
@@ -33,9 +47,7 @@ def export_run(path: str, xs, us, times, state_names=None, control_names=None):
     for i, c in enumerate(unames):
         cols[c] = np.append(us2[:, i], us2[-1, i])
     cols["t"] = times[: n + 1]
-    df = pd.DataFrame(cols)
-    df.to_csv(path, index=False)
-    return path
+    return _write_table(path, cols)
 
 
 def export_diffdrive_run(path: str, xs, us, T: float):
@@ -52,22 +64,20 @@ def export_lane_change_run(path: str, xs, us, traj_xy, refs):
     xs = np.asarray(xs); us = np.asarray(us).reshape(len(us), -1)
     n = len(us)
     refs = np.asarray(refs)[:n]
-    df = pd.DataFrame({
+    return _write_table(path, {
         "x1": xs[1: n + 1, 0], "x2": xs[1: n + 1, 1], "x3": xs[1: n + 1, 2],
         "u": us[:, 0],
         "x": np.asarray(traj_xy[0])[:n], "y": np.asarray(traj_xy[1])[:n],
         "yref": refs[:, 0], "phiref": refs[:, 1],
         "rref": refs[:, 2], "deltaref": refs[:, 3],
     })
-    df.to_csv(path, index=False)
-    return path
 
 
 def load_run(path: str) -> pd.DataFrame:
-    """Read a run table (csv; xlsx too if an engine is available)."""
-    if str(path).endswith(".csv"):
-        return pd.read_csv(path)
-    return pd.read_excel(path)
+    """Read a run table (csv, or xlsx via the stdlib reader)."""
+    if str(path).endswith(".xlsx"):
+        return pd.DataFrame(read_xlsx(path))
+    return pd.read_csv(path)
 
 
 def compare_runs(run_a: pd.DataFrame, run_b: pd.DataFrame, columns=None,

@@ -68,7 +68,8 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
             c = l(x, u, p)
             return F(x, u, p), (x, u, c)
 
-        xN, (xs, us_c, cs) = jax.lax.scan(step, x0, (us, ps[:N], ks))
+        xN, (xs, us_c, cs) = jax.lax.scan(step, x0, (us, ps[:N], ks),
+                                          unroll=opt.ls_unroll)
         xs = jnp.concatenate([xs, xN[None]], axis=0)
         return xs, us_c, jnp.sum(cs) + lf(xN, ps[N])
 
@@ -82,7 +83,8 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
             return F(x, u, p), (x, u, c)
 
         xN, (xs_n, us_n, cs) = jax.lax.scan(
-            step, x0, (xs[:N], us, kffs, Ks, ps[:N], ks))
+            step, x0, (xs[:N], us, kffs, Ks, ps[:N], ks),
+            unroll=opt.ls_unroll)
         xs_n = jnp.concatenate([xs_n, xN[None]], axis=0)
         return xs_n, us_n, jnp.sum(cs) + lf(xN, ps[N])
 
@@ -101,7 +103,8 @@ def _make_parts(ocp: OCP, opt: ILQROptions, backend: str,
             return F(x, u, p), l(x, u, p)
 
         xN, cs = jax.lax.scan(
-            step, x0, (xs[:N], us, kffs, Ks, ps[:N], ks))
+            step, x0, (xs[:N], us, kffs, Ks, ps[:N], ks),
+            unroll=opt.ls_unroll)
         return jnp.sum(cs) + lf(xN, ps[N])
 
     def derivs1(xs, us, ps):

@@ -84,6 +84,13 @@ class ILQROptions:
     al_mu0: float = 10.0
     al_mu_factor: float = 10.0
     boxqp_tol: float = 1e-8
+    # lax.scan unroll factor for the rollout / line-search forward scans
+    # (batched + streaming solvers).  The iteration body is launch-latency
+    # bound (docs/design.md phase table: ~5.8 us per XLA scan step at N=40,
+    # B=1024), so unrolling U stages into one fused step cuts the dominant
+    # line-search phase ~U-fold until fusion size saturates.  Numerics are
+    # identical (same op order).  1 = plain scan.
+    ls_unroll: int = 1
 
 
 class ILQRResult(struct.PyTreeNode):

@@ -46,7 +46,8 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                           backend: str = "pallas_bw",
                           batch_width: int = 2048,
                           linesearch: str = "materialize",
-                          restarts: int = 0):
+                          restarts: int = 0,
+                          refill_every: int = 1):
     """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a problem queue.
 
     Args of the returned function have a leading *queue* axis of length M
@@ -70,6 +71,16 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     round*: a round that fails or caps re-solves at the current multipliers
     (consuming that round's budget) before the multipliers advance, and the
     next round starts with the full budget again.
+
+    ``refill_every``: run the scatter/refill block once per this many
+    solver iterations instead of every iteration.  The block is the
+    iteration body's glue — queue gathers, output scatters, slot-state
+    resets — which benchmarks/glue.py measures as a fixed per-iteration
+    latency; at cadence R a finished slot idles at most R-1 iterations
+    (expected (R-1)/2 of mean ~15 useful iterations) while the glue cost
+    drops R-fold.  Restarts and AL multiplier advances stay per-iteration
+    (they are elementwise, not scatter/gather).  1 = the strict
+    refill-every-iteration schedule.
     """
     if ocp.nu > 4 and backend.startswith("pallas"):
         raise NotImplementedError(
@@ -79,6 +90,9 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
     opt = options
     B = int(batch_width)
+    R = int(refill_every)
+    if R < 1:
+        raise ValueError("refill_every must be >= 1")
     # State box bounds: the same PHR augmented-Lagrangian outer loop as
     # make_ilqr_solver, with the multipliers riding the per-slot param tensor
     # (see batched._augment_ocp_al).  A slot that finishes an inner round at
@@ -132,13 +146,23 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         # would live on the device and be FETCHED back through the remote
         # tunnel at MLIR-lowering time (~30 KB/s on this image — measured
         # 350+ s for the old (M+1)-row jnp.zeros output buffers alone);
-        # numpy constants lower locally as splat attributes.  psq/us0q are
-        # tainted with the traced zero so tracer-indexed gathers below see
-        # jax arrays even when the caller passed None.
+        # numpy constants lower locally as splat attributes.  The packed
+        # queue is tainted with the traced zero so tracer-indexed gathers
+        # below see jax arrays even when the caller passed None.
         if us_init is None:
             us_init = np.zeros((M, N, nu), dtype=dt_f)
-        us0q = (us_init + vz).astype(dt_f)
-        psq = psq + vz.astype(dt_f)
+        us0q = jnp.asarray(us_init, dt_f)
+
+        npar_t = psq.shape[-1]
+        sx, su = (N + 1) * nx, N * nu
+        sp = (N + 1) * npar_t
+        # ONE packed queue row per problem [x0 | ps | us0]: refilling a slot
+        # costs a single gather instead of three (measured: the glue block's
+        # scatters/gathers dominate the per-iteration fixed latency,
+        # benchmarks/glue.py)
+        qpk = jnp.concatenate(
+            [x0q, psq.reshape(M, sp), us0q.reshape(M, su)], axis=1)
+        qpk = qpk + vz.astype(dt_f)
 
         idx0 = np.arange(B, dtype=np.int32)
         n0 = min(B, M)
@@ -175,49 +199,45 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             np.int32(n0),                        # queue pointer
             np.zeros((B,), np.int32),            # AL round (0 = no bounds)
         )
-        # output buffers; row M is the dummy target for idle-slot writes
-        out0 = (
-            np.zeros((M + 1, N + 1, nx), dt_f),
-            np.zeros((M + 1, N, nu), dt_f),
-            np.zeros((M + 1,), dt_f),   # cost
-            np.zeros((M + 1,), dt_f),   # gnorm
-            np.zeros((M + 1,), np.int32),  # iterations
-            np.zeros((M + 1,), bool),   # converged
-        )
+        # ONE packed output buffer [xs | us | cost gnorm it conv] per
+        # problem; row M is the dummy target for idle-slot writes.  Packing
+        # turns the refill block's six scatters into one (the scatter op —
+        # not its payload bytes — is what costs fixed latency per iteration).
+        out0 = jax.tree.map(_vary, np.zeros((M + 1, sx + su + 4), dt_f))
         state0 = jax.tree.map(_vary, state0)
         book0 = jax.tree.map(_vary, book0)
-        out0 = jax.tree.map(_vary, out0)
 
         def cond(carry):
             _, book, _ = carry
             return jnp.any(book[2] < M)
 
-        def body(carry):
-            state, book, out = carry
+        def refill(state, book, out):
+            """Scatter finished problems to the output, load next queued
+            problems into their slots.  Pure glue: one packed scatter, one
+            packed gather, one where-chain over the slot state."""
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = state
             x0s, ps, prob, fresh_in, capped, rst, iacc, nq, alr = book
-            o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
 
-            # --- scatter finished problems, refill their slots ------------
             fin = done & (prob < M)
             widx = jnp.where(fin, prob, M)
-            o_xs = o_xs.at[widx].set(xs)
-            o_us = o_us.at[widx].set(us)
-            o_cost = o_cost.at[widx].set(cost)
-            o_gnorm = o_gnorm.at[widx].set(gnorm)
-            o_it = o_it.at[widx].set(iacc + jnp.maximum(it, 0))
-            o_conv = o_conv.at[widx].set(
-                ~fail & jnp.isfinite(cost) & ~capped)
+            conv = ~fail & jnp.isfinite(cost) & ~capped
+            row = jnp.concatenate(
+                [xs.reshape(B, sx), us.reshape(B, su), cost[:, None],
+                 gnorm[:, None],
+                 (iacc + jnp.maximum(it, 0)).astype(dt_f)[:, None],
+                 conv.astype(dt_f)[:, None]], axis=1)
+            out = out.at[widx].set(row)
 
             rank = jnp.cumsum(fin.astype(jnp.int32)) - 1
             cand = nq + rank
             has = fin & (cand < M)
             gidx = jnp.clip(cand, 0, M - 1)
+            qrow = qpk[gidx]
             selb = lambda new, old: jnp.where(
                 has.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
-            x0s = selb(x0q[gidx], x0s)
-            ps = selb(psq[gidx], ps)
-            us = selb(us0q[gidx], us)
+            x0s = selb(qrow[:, :nx], x0s)
+            ps = selb(qrow[:, nx:nx + sp].reshape(B, N + 1, npar_t), ps)
+            us = selb(qrow[:, nx + sp:].reshape(B, N, nu), us)
             # a dead problem may leave NaNs in the slot trajectory; the fresh
             # pass zeroes the gains but 0 * NaN is still NaN in K @ (x-x_nom)
             xs = selb(jnp.zeros_like(xs), xs)
@@ -236,6 +256,14 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             alr = jnp.where(has, 0, alr)
             nq = (nq + jnp.sum(has.astype(jnp.int32))).astype(jnp.int32)
             fresh = fresh_in | has
+
+            state = (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on)
+            book = (x0s, ps, prob, fresh, capped, rst, iacc, nq, alr)
+            return state, book, out
+
+        def compute(state, book):
+            xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = state
+            x0s, ps, prob, fresh, capped, rst, iacc, nq, alr = book
 
             # --- one shared solver iteration ------------------------------
             if parts.fused is not None:
@@ -321,12 +349,26 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
             state = (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on)
             book = (x0s, ps, prob, fresh_next, capped, rst, iacc, nq, alr)
-            out = (o_xs, o_us, o_cost, o_gnorm, o_it, o_conv)
+            return (state, book)
+
+        def body(carry):
+            state, book, out = carry
+            state, book, out = refill(state, book, out)
+            if R == 1:
+                state, book = compute(state, book)
+            else:
+                state, book = jax.lax.fori_loop(
+                    0, R, lambda i, c: compute(*c), (state, book))
             return (state, book, out)
 
         _, _, out = jax.lax.while_loop(cond, body, (state0, book0, out0))
-        o_xs, o_us, o_cost, o_gnorm, o_it, o_conv = out
-        xs_q, us_q, cost_q = o_xs[:M], o_us[:M], o_cost[:M]
+        o = out[:M]
+        xs_q = o[:, :sx].reshape(M, N + 1, nx)
+        us_q = o[:, sx:sx + su].reshape(M, N, nu)
+        cost_q = o[:, sx + su]
+        o_gnorm = o[:, sx + su + 1]
+        o_it = o[:, sx + su + 2].astype(jnp.int32)
+        o_conv = o[:, sx + su + 3] > 0.5
         viol_q = np.zeros((M,), dt_f)
         if has_xb:
             # the loop's cost is the augmented one at the final multipliers;
@@ -345,8 +387,8 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             viol_q = jnp.max(jnp.maximum(
                 0.0, jnp.where(jnp.isfinite(cv), cv, 0.0)), axis=(1, 2))
         return ILQRResult(
-            xs=xs_q, us=us_q, cost=cost_q, grad_norm=o_gnorm[:M],
-            iterations=o_it[:M], converged=o_conv[:M],
+            xs=xs_q, us=us_q, cost=cost_q, grad_norm=o_gnorm,
+            iterations=o_it, converged=o_conv,
             max_violation=viol_q)
 
     return solve

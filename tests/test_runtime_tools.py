@@ -20,6 +20,32 @@ def test_export_and_compare_roundtrip(tmp_path, rng):
     assert d["x"]["max_abs_diff"] < 1e-9
 
 
+def test_export_xlsx_roundtrip(tmp_path, rng):
+    """VERDICT r3 #9: runs export to .xlsx (the reference's 2exemplo.xlsx
+    format, Casadi/single_shooting_v2.py:292-301) and round-trip through the
+    stdlib reader, index column and NaN cells included."""
+    from mpc_verde_tpu.refgen.xlsx import read_xlsx, write_xlsx
+
+    xs = rng.normal(size=(21, 3))
+    us = rng.normal(size=(20, 2))
+    p = export_diffdrive_run(str(tmp_path / "2exemplo.xlsx"), xs, us, 0.2)
+    df = load_run(p)
+    # pandas-to_excel shape: leading unnamed index column, then the data
+    assert list(df.columns) == ["", "x", "y", "theta", "v", "w", "t"]
+    np.testing.assert_allclose(df["x"], xs[:21, 0], rtol=0, atol=0)
+    np.testing.assert_allclose(df["t"], np.arange(21) * 0.2, atol=1e-15)
+    np.testing.assert_array_equal(df[""], np.arange(21))
+
+    # direct writer round-trip incl. NaN -> empty cell -> NaN
+    cols = {"a": np.array([1.5, np.nan, -3.0]),
+            "b": np.array([0.0, 2.0**-30, 1e300])}
+    q = write_xlsx(str(tmp_path / "rt.xlsx"), cols, index=False)
+    back = read_xlsx(q)
+    np.testing.assert_array_equal(np.isnan(back["a"]), [False, True, False])
+    np.testing.assert_allclose(back["a"][[0, 2]], [1.5, -3.0], rtol=0)
+    np.testing.assert_allclose(back["b"], cols["b"], rtol=0)  # repr exact
+
+
 def test_export_lane_change_layout(tmp_path, rng):
     xs = rng.normal(size=(31, 3))
     us = rng.normal(size=(30, 1))

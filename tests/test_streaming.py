@@ -65,6 +65,30 @@ def test_streaming_matches_batched_exactly():
                                rtol=0, atol=1e-12)
 
 
+def test_streaming_refill_cadence_matches_strict_schedule():
+    """refill_every=R is a pure scheduling change: per-problem results
+    (cost, iterations, convergence, trajectories) must match the strict
+    refill-every-iteration schedule exactly — a finished slot just idles
+    up to R-1 iterations before its result is scattered."""
+    ocp = _ocp()
+    opts = mv.ILQROptions(max_iters=60)
+    M = 24
+    x0s, params, us0 = _queue(M, seed=7)
+    r1 = jax.jit(make_streaming_solver(ocp, opts, backend="xla",
+                                       batch_width=5))(x0s, params, us0)
+    r3 = jax.jit(make_streaming_solver(ocp, opts, backend="xla",
+                                       batch_width=5, refill_every=3))(
+        x0s, params, us0)
+    assert bool(r3.converged.all())
+    np.testing.assert_array_equal(np.array(r1.iterations),
+                                  np.array(r3.iterations))
+    np.testing.assert_array_equal(np.array(r1.cost), np.array(r3.cost))
+    # trajectories agree to compile-level rounding (the fori_loop body
+    # fuses slightly differently; observed drift is ~1 ulp)
+    np.testing.assert_allclose(np.array(r1.us), np.array(r3.us),
+                               rtol=0, atol=1e-12)
+
+
 def test_streaming_queue_shorter_than_batch():
     ocp = _ocp()
     opts = mv.ILQROptions(max_iters=60)
