@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--queue", type=int, default=16384)
     ap.add_argument("--horizon", type=int, default=40)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--unrolls", default="1,4,8")
     ap.add_argument("--refill-every", type=int, default=1,
                     help="cadence for the body_diff probe")
@@ -96,15 +96,21 @@ def main():
             return out, s
         return jax.jit(body)
 
-    def timed(fn, inp):
+    def timed(fn, inp, tag=""):
+        print(f"[glue] compiling {tag}...", file=sys.stderr, flush=True)
+        t0 = time.time()
         out, s = fn(inp)
         float(s)  # compile + fetch barrier
+        print(f"[glue] {tag} compiled+warm in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
         ts = []
         for _ in range(args.reps):
             t0 = time.time()
             out, s = fn(inp)
             float(s)
             ts.append(time.time() - t0)
+        print(f"[glue] {tag}: {min(ts) / K * 1e6:.1f} us/call",
+              file=sys.stderr, flush=True)
         return min(ts) / K
 
     rng = np.random.default_rng(0)
@@ -206,17 +212,18 @@ def main():
 
     # null chain: scaffolding + dispatch RTT
     null = timed(chain(lambda a: (a * 1.000001,),
-                       lambda a, s, i: (a[0] + eps(s),)), (reg,))
+                       lambda a, s, i: (a[0] + eps(s),)), (reg,),
+                 tag="null")
     row["null_us"] = round(null * 1e6, 1)
 
     t = timed(chain(refill_packed,
                     lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3], a[4])),
-              (xs, us, cost, done, out_pk))
+              (xs, us, cost, done, out_pk), tag="refill_packed")
     row["refill_packed_us"] = round((t - null) * 1e6, 1)
 
     t = timed(chain(refill_legacy,
                     lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3], a[4])),
-              (xs, us, cost, done, out6))
+              (xs, us, cost, done, out6), tag="refill_legacy")
     row["refill_legacy_us"] = round((t - null) * 1e6, 1)
 
     # accept block alone
@@ -230,7 +237,7 @@ def main():
     us_b = us * 1.01
     t = timed(chain(accept,
                     lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3])),
-              (xs_b, us_b, cost * 0.9, gnorm))
+              (xs_b, us_b, cost * 0.9, gnorm), tag="accept")
     row["accept_us"] = round((t - null) * 1e6, 1)
 
     # line search at each unroll factor
@@ -246,7 +253,8 @@ def main():
         t = timed(chain(parts_u.linesearch,
                         lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3],
                                          a[4], a[5])),
-                  (x0, xs, us, ps_full, kffs, Ks))
+                  (x0, xs, us, ps_full, kffs, Ks),
+                  tag=f"linesearch_u{u}")
         row[f"linesearch_u{u}_us"] = round((t - null) * 1e6, 1)
 
     # ---- ground truth: full-solve differencing -----------------------------

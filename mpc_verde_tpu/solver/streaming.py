@@ -47,7 +47,8 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                           batch_width: int = 2048,
                           linesearch: str = "materialize",
                           restarts: int = 0,
-                          refill_every: int = 1):
+                          refill_every: int = 1,
+                          rounds=None):
     """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a problem queue.
 
     Args of the returned function have a leading *queue* axis of length M
@@ -81,6 +82,15 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     drops R-fold.  Restarts and AL multiplier advances stay per-iteration
     (they are elementwise, not scatter/gather).  1 = the strict
     refill-every-iteration schedule.
+
+    ``rounds``: optional ``(n_rounds, advance)`` continuation spec — the
+    generalization of the AL outer loop to any per-slot parameter
+    continuation (the streaming IPM rides this, ``ipm.py``).  A slot whose
+    inner solve ends at round r < n_rounds-1 gets its param tensor rewritten
+    by ``advance(ps, xs, r) -> ps_new`` ((B, N+1, npar), (B, N+1, nx),
+    (B,) int32 -> ps) and restarts fresh in place, with the full per-round
+    restart budget.  Mutually exclusive with state bounds (which install
+    the AL spec internally).
     """
     if ocp.nu > 4 and backend.startswith("pallas"):
         raise NotImplementedError(
@@ -106,10 +116,30 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             "streaming solver with state bounds needs options.al_iters >= 1")
     ocp_in = ocp
     npar = max(ocp_in.npar, 1)
+    if has_xb and rounds is not None:
+        raise ValueError("rounds= cannot be combined with state bounds "
+                         "(state bounds install the AL continuation spec)")
     if has_xb:
         cvals = _al_cvals(ocp)
         ocp = _augment_ocp_al(ocp)
         nlam = 2 * nx
+
+        def _al_advance(ps, xs, alr):
+            c = jax.vmap(jax.vmap(cvals))(xs)        # (B, N+1, 2nx)
+            c = jnp.where(jnp.isfinite(c), c, -1.0)
+            lam = ps[:, :, npar:npar + nlam]
+            mu = ps[:, :, npar + nlam:]
+            lam_n = jnp.maximum(0.0, lam + mu * c)
+            return jnp.concatenate(
+                [ps[:, :, :npar], lam_n, mu * opt.al_mu_factor], axis=-1)
+
+        n_rounds, advance = al_iters, _al_advance
+    elif rounds is not None:
+        n_rounds, advance = int(rounds[0]), rounds[1]
+        if n_rounds < 1:
+            raise ValueError("rounds[0] must be >= 1")
+    else:
+        n_rounds, advance = 1, None
     parts = _make_parts(ocp, opt, backend, linesearch)
 
     def solve(x0q, params=None, us_init=None, max_iters=None, restarts_n=None):
@@ -314,20 +344,15 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             done = done | newly_capped
             capped = capped | newly_capped
 
-            if has_xb:
-                # AL outer loop in place: a slot whose inner round ended
-                # (converged, failed, or budget-capped — matching the
+            if n_rounds > 1:
+                # Continuation outer loop in place: a slot whose inner round
+                # ended (converged, failed, or budget-capped — matching the
                 # unconditional al_round scan of make_ilqr_solver) at
-                # al_round < al_iters-1 updates its multiplier columns from
-                # the current iterate and restarts the inner solve fresh.
-                adv = done & (prob < M) & (alr < al_iters - 1)
-                c = jax.vmap(jax.vmap(cvals))(xs)        # (B, N+1, 2nx)
-                c = jnp.where(jnp.isfinite(c), c, -1.0)
-                lam = ps[:, :, npar:npar + nlam]
-                mu = ps[:, :, npar + nlam:]
-                lam_n = jnp.maximum(0.0, lam + mu * c)
-                ps_n = jnp.concatenate(
-                    [ps[:, :, :npar], lam_n, mu * opt.al_mu_factor], axis=-1)
+                # round < n_rounds-1 gets its param tensor rewritten by the
+                # advance fn (AL multiplier update / IPM mu step) and
+                # restarts the inner solve fresh.
+                adv = done & (prob < M) & (alr < n_rounds - 1)
+                ps_n = advance(ps, xs, alr)
                 a3 = adv.reshape((B, 1, 1))
                 ps = jnp.where(a3, ps_n, ps)
                 alr = alr + adv.astype(jnp.int32)
