@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--skip-body", action="store_true",
                     help="skip the full-solve differencing probe (no "
                          "streaming compile)")
+    ap.add_argument("--skip-micro", action="store_true",
+                    help="skip the chained micro-probes (body_diff only)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -210,55 +212,62 @@ def main():
     row = {"metric": "streaming_glue_us", "width": B, "N": N, "queue": M,
            "backend": jax.default_backend(), "kernel": kern, "chain_k": K}
 
-    # null chain: scaffolding + dispatch RTT
-    null = timed(chain(lambda a: (a * 1.000001,),
-                       lambda a, s, i: (a[0] + eps(s),)), (reg,),
-                 tag="null")
-    row["null_us"] = round(null * 1e6, 1)
+    if not args.skip_micro:
+        # null chain: scaffolding + dispatch RTT
+        null = timed(chain(lambda a: (a * 1.000001,),
+                           lambda a, s, i: (a[0] + eps(s),)), (reg,),
+                     tag="null")
+        row["null_us"] = round(null * 1e6, 1)
 
-    t = timed(chain(refill_packed,
-                    lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3], a[4])),
-              (xs, us, cost, done, out_pk), tag="refill_packed")
-    row["refill_packed_us"] = round((t - null) * 1e6, 1)
-
-    t = timed(chain(refill_legacy,
-                    lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3], a[4])),
-              (xs, us, cost, done, out6), tag="refill_legacy")
-    row["refill_legacy_us"] = round((t - null) * 1e6, 1)
-
-    # accept block alone
-    def accept(xs_b, us_b, new_cost, gmax):
-        return _accept_and_update(
-            base_opt, (xs, us, cost, reg, it, done, gnorm, stall, fail,
-                       ddp_on), gmax, xs_b, us_b, new_cost,
-            fresh=jnp.zeros((B,), bool))
-
-    xs_b = xs * 1.01
-    us_b = us * 1.01
-    t = timed(chain(accept,
-                    lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3])),
-              (xs_b, us_b, cost * 0.9, gnorm), tag="accept")
-    row["accept_us"] = round((t - null) * 1e6, 1)
-
-    # line search at each unroll factor
-    ps_full = jnp.broadcast_to(jnp.array([10.0, 10.0, 0.0], f32),
-                               (B, N + 1, npar)).astype(f32)
-    x0 = f32(rng.uniform(-2, 2, (B, nx)))
-    kffs = f32(0.01 * rng.standard_normal((B, N, nu)))
-    Ks = f32(0.01 * rng.standard_normal((B, N, nu, nx)))
-    for u in [int(x) for x in args.unrolls.split(",")]:
-        parts_u = _make_parts(
-            ocp, dataclasses.replace(base_opt, ls_unroll=u), kern,
-            "materialize")
-        t = timed(chain(parts_u.linesearch,
+        t = timed(chain(refill_packed,
                         lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3],
-                                         a[4], a[5])),
-                  (x0, xs, us, ps_full, kffs, Ks),
-                  tag=f"linesearch_u{u}")
-        row[f"linesearch_u{u}_us"] = round((t - null) * 1e6, 1)
+                                         a[4])),
+                  (xs, us, cost, done, out_pk), tag="refill_packed")
+        row["refill_packed_us"] = round((t - null) * 1e6, 1)
+
+        t = timed(chain(refill_legacy,
+                        lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3],
+                                         a[4])),
+                  (xs, us, cost, done, out6), tag="refill_legacy")
+        row["refill_legacy_us"] = round((t - null) * 1e6, 1)
+
+        # accept block alone
+        def accept(xs_b, us_b, new_cost, gmax):
+            return _accept_and_update(
+                base_opt, (xs, us, cost, reg, it, done, gnorm, stall, fail,
+                           ddp_on), gmax, xs_b, us_b, new_cost,
+                fresh=jnp.zeros((B,), bool))
+
+        xs_b = xs * 1.01
+        us_b = us * 1.01
+        t = timed(chain(accept,
+                        lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3])),
+                  (xs_b, us_b, cost * 0.9, gnorm), tag="accept")
+        row["accept_us"] = round((t - null) * 1e6, 1)
+
+        # line search at each unroll factor
+        ps_full = jnp.broadcast_to(jnp.array([10.0, 10.0, 0.0], f32),
+                                   (B, N + 1, npar)).astype(f32)
+        x0 = f32(rng.uniform(-2, 2, (B, nx)))
+        kffs = f32(0.01 * rng.standard_normal((B, N, nu)))
+        Ks = f32(0.01 * rng.standard_normal((B, N, nu, nx)))
+        for u in [int(x) for x in args.unrolls.split(",")]:
+            parts_u = _make_parts(
+                ocp, dataclasses.replace(base_opt, ls_unroll=u), kern,
+                "materialize")
+            t = timed(chain(parts_u.linesearch,
+                            lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3],
+                                             a[4], a[5])),
+                      (x0, xs, us, ps_full, kffs, Ks),
+                      tag=f"linesearch_u{u}")
+            row[f"linesearch_u{u}_us"] = round((t - null) * 1e6, 1)
 
     # ---- ground truth: full-solve differencing -----------------------------
     if not args.skip_body:
+        print(f"[glue] compiling streaming solve "
+              f"(refill_every={args.refill_every})...",
+              file=sys.stderr, flush=True)
+        row["refill_every"] = args.refill_every
         opt_b = dataclasses.replace(base_opt, max_iters=40)
         ssolve = jax.jit(make_streaming_solver(
             ocp, opt_b, backend=kern, batch_width=B,
@@ -274,7 +283,10 @@ def main():
             float(jnp.sum(r.iterations))
             return time.time() - t0
 
+        t0 = time.time()
         run(1)  # compile
+        print(f"[glue] streaming solve compiled in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
         lo = min(run(1) for _ in range(args.reps))
         hi = min(run(21) for _ in range(args.reps))
         # budget mi: each problem occupies a slot for (mi + 2) passes
