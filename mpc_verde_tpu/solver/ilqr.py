@@ -85,11 +85,11 @@ class ILQROptions:
     al_mu_factor: float = 10.0
     boxqp_tol: float = 1e-8
     # lax.scan unroll factor for the rollout / line-search forward scans
-    # (batched + streaming solvers).  The iteration body is launch-latency
-    # bound (docs/design.md phase table: ~5.8 us per XLA scan step at N=40,
-    # B=1024), so unrolling U stages into one fused step cuts the dominant
-    # line-search phase ~U-fold until fusion size saturates.  Numerics are
-    # identical (same op order).  1 = plain scan.
+    # (batched + streaming solvers).  MEASURED SLOWER THAN 1 on v5e at the
+    # bench shapes (benchmarks/glue.py r4: 167/228/275 us at unroll 1/4/8 —
+    # the ~4.2 us scan-step launch is cheaper than what unrolled bodies
+    # lose to register pressure), so the default stays 1; the knob exists
+    # for other shapes/toolchains.  Numerics are identical (same op order).
     ls_unroll: int = 1
 
 
