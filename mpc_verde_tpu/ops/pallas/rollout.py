@@ -14,21 +14,20 @@ This kernel fuses the whole line search into ONE launch per solver iteration:
     the vector axis (``_to_tiles`` layout shared with ``riccati.py``).
   * **Stages as an in-kernel ``fori_loop``** over VMEM-resident stage data —
     no per-step kernel dispatch, no HBM round trips.
-  * **Three alpha layouts** (``mode``), measured round 3 on v5e
-    (docs/design.md "line-search kernel layouts"):
-    "vector" (default) vmaps the A step lengths over a leading array axis —
-    smallest program, sequential depth 2N (cost sweep + winner re-roll);
-    "unrolled" python-unrolls them (same math, A x program size, 766 s
-    Mosaic compile); "grid" makes alpha a sequential grid dimension —
-    compiles fastest (20 s) but serializes A+1 full rollouts per batch
-    cell on the single tensor core (measured 18x slower end-to-end than
-    the XLA path, which keeps alpha vectorized in-register).
+  * **Alpha layout**: "grid" — alpha as a sequential grid dimension.
 
-STATUS: experimental.  Semantics are validated (interpret-mode tests +
-on-chip parity vs the XLA path) but every layout wide enough to win also
-pushes the Mosaic compiler into multi-minute compile times on the current
-toolchain, so ``backend="pallas_bw"`` (XLA line search) remains the
-production default; see docs/design.md for the full study.
+STATUS: experimental / ablation.  Semantics are validated (interpret-mode
+tests + on-chip parity vs the XLA path), but the four-layout study
+(rounds 3-4, docs/design.md "line-search kernel layouts" +
+benchmarks/RESULTS_r04.md) is CLOSED with a negative result: every layout
+wide enough to beat XLA's in-register alpha vectorization either hits the
+Mosaic compile wall ("vector" >5 min, "unrolled" 766 s) or — having beaten
+it ("sublane", ~27 s, single-alpha program with alphas riding the sublane
+axis as data — and "grid", 20 s) — executes 18-116x slower than the XLA
+scan, because Mosaic serializes the dynamically-indexed VMEM stage loop
+far worse than XLA pipelines its scan.  ``backend="pallas_bw"`` (Pallas
+Riccati backward + XLA line search) is the production configuration; only
+the "grid" layout remains in-tree as the tested representative.
 
 The user's dynamics/cost/bounds callables (plain jax functions of single
 vectors, e.g. the RK4-discretized unicycle of ``Casadi/single_shooting_v1.py``)
@@ -349,310 +348,6 @@ def _make_kernel(nx: int, nu: int, N: int, A: int,
 _INF = float(np.finfo(np.float32).max)
 
 
-def _make_kernel_unrolled(nx: int, nu: int, N: int, A: int,
-                          alphas: Tuple[float, ...],
-                          dyn_p: Callable, cost_p: Callable, term_p: Callable,
-                          cb_p: Callable, n_consts: Tuple[int, ...],
-                          const_shapes):
-    """Alpha-unrolled kernel: grid = (G,), ONE pass over the stages rolls
-    every step length as unrolled register copies of the state tile.
-
-    vs the alpha-as-grid layout (``_make_kernel``): that one serializes
-    A + 1 full N-step rollouts per batch cell on the single tensor core —
-    measured 18x slower end-to-end than the XLA path, which keeps alpha as
-    an in-register vectorized axis.  Here alpha is a *python-level* unroll
-    inside the stage ``fori_loop`` (A state tiles live simultaneously), so
-    the sequential depth is N + N (cost sweep + winner re-roll), the same
-    as XLA's, while each step is one fused VPU body with no per-step
-    dispatch — the same property that makes the Riccati kernel's grid
-    steps ~70x cheaper than XLA scan steps (benchmarks/phases.py).
-    """
-    nd, nc, nt, nb = n_consts
-    total = nd + nc + nt + nb
-
-    F2 = _f32_out(_tile2(dyn_p, 3 + nd))
-    l2 = _f32_out(_tile2(cost_p, 3 + nc))
-    lf2 = _f32_out(_tile2(term_p, 2 + nt))
-    cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
-
-    def kernel(*refs):
-        (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
-        const_rs = refs[6:6 + total]
-        xs_o, us_o, cost_o = refs[6 + total:]
-
-        cl = [r[0].reshape(tuple(sh) + (_SUB, _LANE))
-              for r, sh in zip(const_rs, const_shapes)]
-        c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
-        c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
-
-        def ld(ref, k):
-            return ref[0, pl.ds(k, 1)][0]           # (entries, 8, 128)
-
-        x0 = x0_r[0]                                # (nx, 8, 128)
-        pN = ps_r[0, N]
-
-        def feedback(x, x_nom, u_nom, kff, Kf, at):
-            dx = x - x_nom
-            Kdx = jnp.stack(
-                [sum(Kf[a * nx + i] * dx[i] for i in range(nx))
-                 for a in range(nu)], axis=0)
-            return u_nom + at[None] * kff + Kdx
-
-        # ---- phase 1: cost sweep, all alphas as unrolled copies ----------
-        def step(k, carry):
-            xs_a, cost_a = carry                    # tuples of A tiles
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            xs_n, cost_n = [], []
-            for a in range(A):
-                at = jnp.full((_SUB, _LANE), jnp.float32(alphas[a]))
-                u = feedback(xs_a[a], x_nom, u_nom, kff, Kf, at)
-                lb, ub = cb2(xs_a[a], p, k, *c_cb)
-                u = jnp.clip(u, lb, ub)
-                cost_n.append(cost_a[a] + l2(xs_a[a], u, p, *c_cost))
-                xs_n.append(F2(xs_a[a], u, p, *c_dyn))
-            return tuple(xs_n), tuple(cost_n)
-
-        z = jnp.zeros((_SUB, _LANE), jnp.float32)
-        xs_a, cost_a = jax.lax.fori_loop(
-            0, N, step, (tuple(x0 for _ in range(A)),
-                         tuple(z for _ in range(A))))
-        cost_a = [cost_a[a] + lf2(xs_a[a], pN, *c_term) for a in range(A)]
-
-        # first-minimum tie-breaking, matching jnp.argmin in the XLA path
-        best_c = cost_a[0]
-        best_a = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
-        for a in range(1, A):
-            better = cost_a[a] < best_c
-            best_c = jnp.where(better, cost_a[a], best_c)
-            best_a = jnp.where(better, jnp.float32(alphas[a]), best_a)
-
-        # ---- phase 2: winner re-roll, materialize ------------------------
-        def step2(k, x):
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            u = feedback(x, x_nom, u_nom, kff, Kf, best_a)
-            lb, ub = cb2(x, p, k, *c_cb)
-            u = jnp.clip(u, lb, ub)
-            xs_o[0, pl.ds(k, 1)] = x[None]
-            us_o[0, pl.ds(k, 1)] = u[None]
-            return F2(x, u, p, *c_dyn)
-
-        xN = jax.lax.fori_loop(0, N, step2, x0)
-        xs_o[0, pl.ds(N, 1)] = xN[None]
-        cost_o[0] = best_c
-
-    return kernel
-
-
-def _make_kernel_vector(nx: int, nu: int, N: int, A: int,
-                        alphas: Tuple[float, ...],
-                        dyn_p: Callable, cost_p: Callable, term_p: Callable,
-                        cb_p: Callable, n_consts: Tuple[int, ...],
-                        const_shapes):
-    """Alpha-VECTORIZED kernel: grid = (G,), the A step lengths ride a
-    leading array axis through every tile op.
-
-    The python-unrolled variant (``_make_kernel_unrolled``) duplicates the
-    ~150-op stage body A times, and Mosaic compile time is superlinear in
-    program size (measured 766 s at A=8, N=40).  Here the per-alpha math is
-    ``jax.vmap``-ed over a leading axis instead: each traced op is rank-4
-    ``(A, ..., 8, 128)``, which Mosaic expands into per-register ops *after*
-    the expensive layout passes — the program stays ~1 stage body long, the
-    arithmetic is identical.  Sequential depth is N (sweep) + N (winner
-    re-roll), matching the XLA path, with zero per-step dispatch cost.
-    """
-    nd, nc, nt, nb = n_consts
-    total = nd + nc + nt + nb
-
-    # tile-batched callables; ..._a variants add a leading alpha axis on
-    # the state/control arguments (params and consts broadcast)
-    F2 = _f32_out(_tile2(dyn_p, 3 + nd))
-    l2 = _f32_out(_tile2(cost_p, 3 + nc))
-    lf2 = _f32_out(_tile2(term_p, 2 + nt))
-    cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
-    F2a = jax.vmap(F2, in_axes=(0, 0, None) + (None,) * nd)
-    l2a = jax.vmap(l2, in_axes=(0, 0, None) + (None,) * nc)
-    lf2a = jax.vmap(lf2, in_axes=(0, None) + (None,) * nt)
-    cb2a = jax.vmap(cb2, in_axes=(0, None, None) + (None,) * nb)
-
-    def kernel(*refs):
-        (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
-        const_rs = refs[6:6 + total]
-        xs_o, us_o, cost_o = refs[6 + total:]
-
-        cl = [r[0].reshape(tuple(sh) + (_SUB, _LANE))
-              for r, sh in zip(const_rs, const_shapes)]
-        c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
-        c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
-
-        def ld(ref, k):
-            return ref[0, pl.ds(k, 1)][0]           # (entries, 8, 128)
-
-        x0 = x0_r[0]                                # (nx, 8, 128)
-        pN = ps_r[0, N]
-        # per-alpha step lengths as a stacked (A, 1, 8, 128) tile constant,
-        # built from python floats (no captured array constants)
-        a_vec = jnp.stack([jnp.full((1, _SUB, _LANE), jnp.float32(alphas[a]))
-                           for a in range(A)], axis=0)
-
-        def feedback_a(X, x_nom, u_nom, kff, Kf):
-            # X: (A, nx, 8, 128) -> (A, nu, 8, 128)
-            dx = X - x_nom[None]
-            Kdx = jnp.stack(
-                [sum(Kf[a * nx + i][None] * dx[:, i] for i in range(nx))
-                 for a in range(nu)], axis=1)
-            return u_nom[None] + a_vec * kff[None] + Kdx
-
-        # ---- phase 1: cost sweep, alphas vectorized ----------------------
-        def step(k, carry):
-            X, C = carry             # (A, nx, 8, 128), (A, 8, 128)
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            U = feedback_a(X, x_nom, u_nom, kff, Kf)
-            lb, ub = cb2a(X, p, k, *c_cb)
-            U = jnp.clip(U, lb, ub)
-            return F2a(X, U, p, *c_dyn), C + l2a(X, U, p, *c_cost)
-
-        X0 = jnp.broadcast_to(x0[None], (A,) + x0.shape)
-        C0 = jnp.zeros((A, _SUB, _LANE), jnp.float32)
-        X, C = jax.lax.fori_loop(0, N, step, (X0, C0))
-        C = C + lf2a(X, pN, *c_term)
-
-        # first-minimum tie-breaking, matching jnp.argmin in the XLA path
-        best_c = C[0]
-        best_a = jnp.full((_SUB, _LANE), jnp.float32(alphas[0]))
-        for a in range(1, A):
-            better = C[a] < best_c
-            best_c = jnp.where(better, C[a], best_c)
-            best_a = jnp.where(better, jnp.float32(alphas[a]), best_a)
-
-        # ---- phase 2: winner re-roll, materialize ------------------------
-        def step2(k, x):
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            dx = x - x_nom
-            Kdx = jnp.stack(
-                [sum(Kf[a * nx + i] * dx[i] for i in range(nx))
-                 for a in range(nu)], axis=0)
-            u = u_nom + best_a[None] * kff + Kdx
-            lb, ub = cb2(x, p, k, *c_cb)
-            u = jnp.clip(u, lb, ub)
-            xs_o[0, pl.ds(k, 1)] = x[None]
-            us_o[0, pl.ds(k, 1)] = u[None]
-            return F2(x, u, p, *c_dyn)
-
-        xN = jax.lax.fori_loop(0, N, step2, x0)
-        xs_o[0, pl.ds(N, 1)] = xN[None]
-        cost_o[0] = best_c
-
-    return kernel
-
-
-def _make_kernel_sublane(nx: int, nu: int, N: int, A: int,
-                         alphas: Tuple[float, ...],
-                         dyn_p: Callable, cost_p: Callable, term_p: Callable,
-                         cb_p: Callable, n_consts: Tuple[int, ...],
-                         const_shapes):
-    """Alpha-in-SUBLANE kernel: each (8, 128) tile holds 8 step lengths x
-    128 problems (grid = (B/128,)), instead of 8x128 problems.
-
-    The round-4 layout experiment (VERDICT r3 #3): the "vector" mode's
-    leading alpha axis multiplies the Mosaic vector-op count A-fold during
-    early expansion (compile never finished on-chip); here alpha rides the
-    tile's sublane axis as DATA — the step-length tile has row a equal to
-    alphas[a] — so the kernel body IS the single-alpha program (~"grid"-mode
-    op count, 20 s compile class) while every op still processes 8x128
-    elements (full VPU width, alphas genuinely parallel).  Problem data is
-    replicated across sublanes host-side (~40% more HBM reads than the
-    1024-problem tiling; irrelevant — the workload is latency-bound).
-    Sequential depth is N (sweep) + N (winner re-roll), matching XLA.
-
-    Requires A <= 8; rows beyond A repeat the last alpha (first-minimum
-    tie-breaking keeps the result identical to the XLA argmin).
-    """
-    nd, nc, nt, nb = n_consts
-    total = nd + nc + nt + nb
-
-    F2 = _f32_out(_tile2(dyn_p, 3 + nd))
-    l2 = _f32_out(_tile2(cost_p, 3 + nc))
-    lf2 = _f32_out(_tile2(term_p, 2 + nt))
-    cb2 = _f32_out(_tile2(cb_p, 3 + nb, shared=(2,)))
-
-    # pad the alpha rows to the 8 sublanes (duplicates are harmless under
-    # first-minimum tie-breaking)
-    arows = tuple(alphas) + (alphas[-1],) * (_SUB - A)
-
-    def kernel(*refs):
-        (x0_r, xs_r, us_r, kff_r, K_r, ps_r) = refs[:6]
-        const_rs = refs[6:6 + total]
-        xs_o, us_o, cost_o = refs[6 + total:]
-
-        cl = [r[0].reshape(tuple(sh) + (_SUB, _LANE))
-              for r, sh in zip(const_rs, const_shapes)]
-        c_dyn, c_cost = cl[:nd], cl[nd:nd + nc]
-        c_term, c_cb = cl[nd + nc:nd + nc + nt], cl[nd + nc + nt:]
-
-        def ld(ref, k):
-            return ref[0, pl.ds(k, 1)][0]           # (entries, 8, 128)
-
-        x0 = x0_r[0]                                # (nx, 8, 128) replicated
-        pN = ps_r[0, N]
-        # step-length tile: row a = alphas[a] (python-float rows — no
-        # captured array constants)
-        at = jnp.concatenate(
-            [jnp.full((1, _LANE), jnp.float32(a)) for a in arows], axis=0)
-
-        def feedback(x, x_nom, u_nom, kff, Kf, a_t):
-            dx = x - x_nom
-            Kdx = jnp.stack(
-                [sum(Kf[a * nx + i] * dx[i] for i in range(nx))
-                 for a in range(nu)], axis=0)
-            return u_nom + a_t[None] * kff + Kdx
-
-        # ---- phase 1: cost sweep, each sublane rolls its own alpha -------
-        def step(k, carry):
-            x, cost = carry                         # (nx, 8, 128), (8, 128)
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            u = feedback(x, x_nom, u_nom, kff, Kf, at)
-            lb, ub = cb2(x, p, k, *c_cb)
-            u = jnp.clip(u, lb, ub)
-            return F2(x, u, p, *c_dyn), cost + l2(x, u, p, *c_cost)
-
-        z = jnp.zeros((_SUB, _LANE), jnp.float32)
-        xN, cost = jax.lax.fori_loop(0, N, step, (x0, z))
-        cost = cost + lf2(xN, pN, *c_term)
-
-        # per-problem (per-lane) winner across the sublane rows; descending
-        # row iteration makes the FIRST minimal row win on exact ties,
-        # matching jnp.argmin in the XLA path
-        bc = jnp.min(cost, axis=0, keepdims=True)   # (1, 128)
-        best_a = jnp.full((1, _LANE), jnp.float32(arows[-1]))
-        for a in range(_SUB - 1, -1, -1):
-            best_a = jnp.where(cost[a:a + 1] == bc,
-                               jnp.float32(arows[a]), best_a)
-        best_bc = jnp.broadcast_to(best_a, (_SUB, _LANE))
-        bc_full = jnp.broadcast_to(bc, (_SUB, _LANE))
-
-        # ---- phase 2: winner re-roll (all sublanes identical), write -----
-        def step2(k, x):
-            x_nom, u_nom = ld(xs_r, k), ld(us_r, k)
-            kff, Kf, p = ld(kff_r, k), ld(K_r, k), ld(ps_r, k)
-            u = feedback(x, x_nom, u_nom, kff, Kf, best_bc)
-            lb, ub = cb2(x, p, k, *c_cb)
-            u = jnp.clip(u, lb, ub)
-            xs_o[0, pl.ds(k, 1)] = x[None]
-            us_o[0, pl.ds(k, 1)] = u[None]
-            return F2(x, u, p, *c_dyn)
-
-        xNb = jax.lax.fori_loop(0, N, step2, x0)
-        xs_o[0, pl.ds(N, 1)] = xNb[None]
-        cost_o[0] = bc_full
-
-    return kernel
-
-
 def linesearch_forward_pallas(
         x0, xs_nom, us_nom, ps, kffs, Ks, *,
         alphas: Sequence[float],
@@ -661,19 +356,18 @@ def linesearch_forward_pallas(
         mode: str = "grid", interpret: bool = False):
     """Fused batched line search on TPU.
 
-    ``mode`` (on-chip Mosaic compile status from the round-3 layout study,
-    benchmarks/RESULTS_r03.md):
-      "grid" (default) — alpha-as-grid layout (grid = (G, A+1), sequential
-        depth (A+1)N): the only mode observed to compile on-chip (20 s);
-        measured 18x slower end-to-end than the XLA path, ablation only.
-      "vector" — alphas vectorized over a leading array axis (grid = (G,),
-        depth 2N, ~1-stage-body program): compile never finished on-chip
-        (killed at >5 min); fine under interpret=True for tests.
-      "sublane" — alphas packed into the 8-sublane tile axis (tile = A
-        alphas x 128 problems, grid = (G*8,)): the kernel body stays the
-        single-alpha program; round-4 layout experiment (VERDICT r3 #3).
-      "unrolled" — python-unrolled alphas (A x program size, 766 s Mosaic
-        compile at A=8): ablation only.
+    ``mode``: only "grid" remains — the alpha-as-grid layout (grid =
+    (G, A+1), sequential depth (A+1)N), kept in-tree as the tested
+    representative of the fused approach (ablation only; measured 18x
+    slower end-to-end than the XLA scan path).  The four-layout study is
+    CLOSED after round 4: "vector"/"unrolled" hit the Mosaic compile wall
+    (>5 min / 766 s), and the round-4 "sublane" layout (alphas packed into
+    the 8-sublane tile axis; single-alpha program size) beat the compile
+    wall (~27 s) but ran ~116x slower than XLA — dynamically-indexed VMEM
+    stage loads serialize far worse than XLA's pipelined scan.  Every
+    layout wide enough to matter loses to XLA's in-register alpha
+    vectorization on this toolchain; the deleted layouts' measurements
+    live in docs/design.md and benchmarks/RESULTS_r03/r04.md.
 
     Args:
       x0: (B, nx) initial states.
@@ -689,19 +383,14 @@ def linesearch_forward_pallas(
     Returns (xs_best (B, N+1, nx), us_best (B, N, nu), cost_best (B,)) for the
     per-problem best alpha.  B is padded internally to a multiple of 1024.
     """
+    if mode != "grid":
+        raise ValueError(
+            f"unknown mode {mode!r}: the alpha-layout study is closed "
+            "(docs/design.md; benchmarks/RESULTS_r04.md) and only 'grid' "
+            "remains in-tree")
     B0, N = us_nom.shape[0], us_nom.shape[1]
     npar = ps.shape[-1]
     A = len(alphas)
-    if mode == "sublane":
-        if A > _SUB:
-            raise NotImplementedError(
-                f"sublane mode packs alphas into the {_SUB}-row sublane "
-                f"axis; got A={A} (> {_SUB})")
-        return _linesearch_sublane(
-            x0, xs_nom, us_nom, ps, kffs, Ks, alphas=alphas,
-            dynamics=dynamics, stage_cost=stage_cost,
-            terminal_cost=terminal_cost, control_bounds=control_bounds,
-            nx=nx, nu=nu, interpret=interpret)
     B = ((B0 + _CELL - 1) // _CELL) * _CELL
     G = B // _CELL
 
@@ -741,16 +430,10 @@ def linesearch_forward_pallas(
             jnp.asarray(c).reshape(1, e, 1, 1), (G, e, _SUB, _LANE)))
 
     # index maps constant in every non-batch grid index: stage data stays
-    # VMEM-resident across sequential passes (no re-fetch).  Arity matches
-    # the grid rank (1-D for "unrolled", 2-D for "grid").
-    if mode in ("vector", "unrolled"):
-        im5 = lambda g: (g, 0, 0, 0, 0)
-        im4 = lambda g: (g, 0, 0, 0)
-        im3 = lambda g: (g, 0, 0)
-    else:
-        im5 = lambda g, s: (g, 0, 0, 0, 0)
-        im4 = lambda g, s: (g, 0, 0, 0)
-        im3 = lambda g, s: (g, 0, 0)
+    # VMEM-resident across the sequential alpha passes (no re-fetch)
+    im5 = lambda g, s: (g, 0, 0, 0, 0)
+    im4 = lambda g, s: (g, 0, 0, 0)
+    im3 = lambda g, s: (g, 0, 0)
 
     def stage_spec(n, entries):
         return pl.BlockSpec((1, n, entries, _SUB, _LANE), im5,
@@ -776,152 +459,26 @@ def linesearch_forward_pallas(
         jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
     ]
 
-    if mode in ("vector", "unrolled"):
-        mk = _make_kernel_vector if mode == "vector" else _make_kernel_unrolled
-        kernel = mk(
-            nx, nu, N, A, tuple(float(a) for a in alphas),
-            dyn_p, cost_p, term_p, cb_p, n_consts, const_shapes)
-        xs_t, us_t, cost_t = pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",),
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(*args)
-    else:
-        kernel = _make_kernel(nx, nu, N, A, tuple(float(a) for a in alphas),
-                              dyn_p, cost_p, term_p, cb_p, n_consts,
-                              const_shapes)
-        xs_t, us_t, cost_t = pl.pallas_call(
-            kernel,
-            grid=(G, A + 1),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best alpha
-                pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best cost
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(*args)
-
-    xs = _from_tiles(xs_t, B, nx)[:B0]
-    us = _from_tiles(us_t, B, nu)[:B0]
-    cost = cost_t.reshape(B)[:B0]
-    return xs, us, cost
-
-
-def _linesearch_sublane(x0, xs_nom, us_nom, ps, kffs, Ks, *, alphas,
-                        dynamics, stage_cost, terminal_cost, control_bounds,
-                        nx, nu, interpret):
-    """Dispatch path for ``mode="sublane"`` (see ``_make_kernel_sublane``).
-
-    Layout: problem b lives in lane b%128 of grid cell b//128; all 8
-    sublane rows of a tile carry that problem's data (replicated host-side),
-    and the kernel assigns row a the step length alphas[a].
-    """
-    B0, N = us_nom.shape[0], us_nom.shape[1]
-    npar = ps.shape[-1]
-    A = len(alphas)
-    B = ((B0 + _LANE - 1) // _LANE) * _LANE
-    G = B // _LANE
-
-    zx = jnp.zeros((nx,), jnp.float32)
-    zu = jnp.zeros((nu,), jnp.float32)
-    zp = jnp.zeros((npar,), jnp.float32)
-    zk = jnp.zeros((), jnp.int32)
-    dyn_p, dyn_c = _hoist_consts(dynamics, zx, zu, zp)
-    cost_p, cost_c = _hoist_consts(stage_cost, zx, zu, zp)
-    term_p, term_c = _hoist_consts(terminal_cost, zx, zp)
-    cb_p, cb_c = _hoist_consts(control_bounds, zx, zp, zk)
-    consts = [*dyn_c, *cost_c, *term_c, *cb_c]
-    n_consts = (len(dyn_c), len(cost_c), len(term_c), len(cb_c))
-    const_shapes = [tuple(c.shape) for c in consts]
-
-    def pad(x):
-        if x.shape[0] == B:
-            return x
-        pw = [(0, B - B0)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pw)
-
-    f32 = lambda x: pad(jnp.asarray(x, jnp.float32))
-
-    def tile_static(x, e):
-        # (B, e) -> (G, e, 8, 128), problem data replicated across sublanes
-        t = x.reshape(G, _LANE, e).transpose(0, 2, 1)
-        return jnp.broadcast_to(t[:, :, None, :], (G, e, _SUB, _LANE))
-
-    def tile_stage(x, nst, e):
-        # (B, nst, e) -> (G, nst, e, 8, 128) replicated
-        t = x.reshape(G, _LANE, nst, e).transpose(0, 2, 3, 1)
-        return jnp.broadcast_to(t[:, :, :, None, :],
-                                (G, nst, e, _SUB, _LANE))
-
-    args = [
-        tile_static(f32(x0), nx),
-        tile_stage(f32(xs_nom[:, :N]).reshape(B, N, nx), N, nx),
-        tile_stage(f32(us_nom), N, nu),
-        tile_stage(f32(kffs), N, nu),
-        tile_stage(f32(Ks).reshape(B, N, nu * nx), N, nu * nx),
-        tile_stage(f32(ps), N + 1, npar),
-    ]
-    for c in consts:
-        e = max(int(np.prod(c.shape)), 1)
-        args.append(jnp.broadcast_to(
-            jnp.asarray(c).reshape(1, e, 1, 1), (G, e, _SUB, _LANE)))
-
-    im5 = lambda g: (g, 0, 0, 0, 0)
-    im4 = lambda g: (g, 0, 0, 0)
-    im3 = lambda g: (g, 0, 0)
-
-    def stage_spec(n, entries):
-        return pl.BlockSpec((1, n, entries, _SUB, _LANE), im5,
-                            memory_space=pltpu.VMEM)
-
-    def static_spec(entries):
-        return pl.BlockSpec((1, entries, _SUB, _LANE), im4,
-                            memory_space=pltpu.VMEM)
-
-    in_specs = [
-        static_spec(nx),
-        stage_spec(N, nx), stage_spec(N, nu), stage_spec(N, nu),
-        stage_spec(N, nu * nx), stage_spec(N + 1, npar),
-    ] + [static_spec(max(int(np.prod(c.shape)), 1)) for c in consts]
-    out_specs = [
-        stage_spec(N + 1, nx),
-        stage_spec(N, nu),
-        pl.BlockSpec((1, _SUB, _LANE), im3, memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((G, N + 1, nx, _SUB, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, N, nu, _SUB, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, _SUB, _LANE), jnp.float32),
-    ]
-
-    kernel = _make_kernel_sublane(
-        nx, nu, N, A, tuple(float(a) for a in alphas),
-        dyn_p, cost_p, term_p, cb_p, n_consts, const_shapes)
+    kernel = _make_kernel(nx, nu, N, A, tuple(float(a) for a in alphas),
+                          dyn_p, cost_p, term_p, cb_p, n_consts,
+                          const_shapes)
     xs_t, us_t, cost_t = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(G, A + 1),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best alpha
+            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),  # best cost
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
-    # all sublane rows are identical after the winner re-roll: read row 0
-    xs = xs_t[:, :, :, 0, :].transpose(0, 3, 1, 2).reshape(B, N + 1, nx)[:B0]
-    us = us_t[:, :, :, 0, :].transpose(0, 3, 1, 2).reshape(B, N, nu)[:B0]
-    cost = cost_t[:, 0, :].reshape(B)[:B0]
+    xs = _from_tiles(xs_t, B, nx)[:B0]
+    us = _from_tiles(us_t, B, nu)[:B0]
+    cost = cost_t.reshape(B)[:B0]
     return xs, us, cost

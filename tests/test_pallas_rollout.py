@@ -104,8 +104,7 @@ def test_cse_distinguishes_hash_colliding_literals():
     assert np.isclose(float(pure(jnp.array([3.0]), *consts)), -9.0)
 
 
-@pytest.mark.parametrize("mode", ["grid", "sublane"])
-def test_kernel_matches_xla_linesearch(data, mode):
+def test_kernel_matches_xla_linesearch(data):
     F, l, lf, cb = _problem()
     x0s, xs, us, ps, kffs, Ks = data
     alphas = tuple(0.4 ** i for i in range(6))
@@ -119,7 +118,7 @@ def test_kernel_matches_xla_linesearch(data, mode):
         xs_p, us_p, c_p = linesearch_forward_pallas(
             x0s, xs, us, ps, kffs, Ks, alphas=alphas,
             dynamics=F, stage_cost=l, terminal_cost=lf,
-            control_bounds=cb, nx=NX, nu=NU, mode=mode)
+            control_bounds=cb, nx=NX, nu=NU)
 
     # XLA reference runs in x64 under the test config; kernel is f32
     assert np.allclose(np.array(us_p), np.array(us_r, np.float32), atol=5e-5)
@@ -127,30 +126,19 @@ def test_kernel_matches_xla_linesearch(data, mode):
     assert np.allclose(np.array(c_p), np.array(c_r, np.float32), rtol=5e-5)
 
 
-def test_sublane_kernel_full_alpha_set(data):
-    """mode="sublane" with A=8 (a full sublane axis) and duplicate-alpha
-    tie-breaking against the XLA argmin."""
+def test_removed_layouts_raise():
+    """The alpha-layout study is closed (RESULTS_r04): the deleted modes
+    must fail loudly, not fall back silently."""
     F, l, lf, cb = _problem()
-    x0s, xs, us, ps, kffs, Ks = data
-    alphas = tuple(0.5 ** i for i in range(8))
-
-    f64 = lambda t: jnp.asarray(t, jnp.float64)
-    xs_r, us_r, c_r = _xla_linesearch(
-        F, l, lf, cb, f64(x0s), f64(xs), f64(us), f64(ps), f64(kffs),
-        f64(Ks), alphas)
-    with pltpu.force_tpu_interpret_mode():
-        xs_p, us_p, c_p = linesearch_forward_pallas(
-            x0s, xs, us, ps, kffs, Ks, alphas=alphas,
-            dynamics=F, stage_cost=l, terminal_cost=lf,
-            control_bounds=cb, nx=NX, nu=NU, mode="sublane")
-    assert np.allclose(np.array(us_p), np.array(us_r, np.float32), atol=5e-5)
-    assert np.allclose(np.array(c_p), np.array(c_r, np.float32), rtol=5e-5)
-
-    with pytest.raises(NotImplementedError):
-        linesearch_forward_pallas(
-            x0s, xs, us, ps, kffs, Ks, alphas=tuple(0.5 ** i for i in range(9)),
-            dynamics=F, stage_cost=l, terminal_cost=lf,
-            control_bounds=cb, nx=NX, nu=NU, mode="sublane")
+    z = jnp.zeros((2, NX))
+    for mode in ("vector", "unrolled", "sublane"):
+        with pytest.raises(ValueError):
+            linesearch_forward_pallas(
+                z, jnp.zeros((2, N + 1, NX)), jnp.zeros((2, N, NU)),
+                jnp.zeros((2, N + 1, NPAR)), jnp.zeros((2, N, NU)),
+                jnp.zeros((2, N, NU, NX)), alphas=(1.0, 0.5),
+                dynamics=F, stage_cost=l, terminal_cost=lf,
+                control_bounds=cb, nx=NX, nu=NU, mode=mode)
 
 
 def test_kernel_handles_unbounded_controls(data):
