@@ -146,6 +146,7 @@ def test_streaming_barrier_matches_exact_ddp():
     assert (np.array(rs.iterations) > np.array(rd.iterations)).all()
 
 
+@pytest.mark.slow
 def test_barrier_over_scan_backend_composes():
     """VERDICT r3 #7: the error message at batched.py's scan guard points
     bound problems at the IPM composition — prove it works: the barrier
