@@ -57,22 +57,27 @@ def main():
 
     before = sorted(os.path.basename(p) for p in glob.glob(cache + "/*"))
 
-    # a fixed, deterministic, mid-sized program (big enough to take >1 s
-    # to compile, small enough to not hog the serial service)
-    def f(x):
-        def step(c, _):
-            c = jnp.tanh(c @ w1) @ w2 + c * 1.0000001
+    # A fixed, deterministic, mid-sized program, big enough to take >1 s to
+    # compile (so the cache entry is actually written — jax skips entries
+    # under persistent_cache_min_compile_time_secs).  EVERYTHING is an
+    # argument or a python/numpy constant: round 4 measured a device-array
+    # closure constant costing ~18 MINUTES at lowering time (the tunnel
+    # fetches it back at ~0.5 KB/s — the r3 footgun, still the #1 cold-start
+    # hazard on this image).
+    def f(x, w1, w2):
+        def step(c, i):
+            c = jnp.tanh(c @ w1) @ w2 + c * (1.0 + 1e-7 * i)
             return c, jnp.sum(c)
-        out, ss = jax.lax.scan(step, x, None, length=64)
+        out, ss = jax.lax.scan(step, x, jnp.arange(512, dtype=jnp.float32))
         return out, ss
 
     rng = np.random.default_rng(0)
-    w1 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
-    w2 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
-    x = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    w1 = np.asarray(rng.standard_normal((256, 256)), np.float32)
+    w2 = np.asarray(rng.standard_normal((256, 256)), np.float32)
+    x = np.asarray(rng.standard_normal((256, 256)), np.float32)
 
     t0 = time.time()
-    out, ss = jax.jit(f)(x)
+    out, ss = jax.jit(f)(x, w1, w2)
     barrier = float(jnp.sum(ss))
     dt = time.time() - t0
     after = sorted(os.path.basename(p) for p in glob.glob(cache + "/*"))
