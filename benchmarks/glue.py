@@ -262,6 +262,30 @@ def main():
                       tag=f"linesearch_u{u}")
             row[f"linesearch_u{u}_us"] = round((t - null) * 1e6, 1)
 
+        # full compute block (derivs -> backward -> linesearch -> accept) as
+        # a straight chain OUTSIDE any while_loop: the gap between this and
+        # body_diff is the while-loop-specific residual (cond + carry
+        # plumbing + loop-iteration turnaround), as opposed to the
+        # fusion-chain launch gaps which this probe includes
+        parts_c = _make_parts(ocp, base_opt, kern, "materialize")
+
+        def compute_once(x0c, xsc, usc, costc):
+            d, gN, HN, dlb, dub = parts_c.derivs(xsc, usc, ps_full)
+            kffs_c, Ks_c, dV1, dV2, gmax = parts_c.backward(
+                d, gN, HN, dlb, dub, reg, ddp_on.astype(jnp.float32))
+            xs_b2, us_b2, new_c = parts_c.linesearch(
+                x0c, xsc, usc, ps_full, kffs_c, Ks_c)
+            st = _accept_and_update(
+                base_opt, (xsc, usc, costc, reg, it, done, gnorm, stall,
+                           fail, ddp_on), gmax, xs_b2, us_b2, new_c,
+                fresh=jnp.zeros((B,), bool))
+            return st[0], st[1], st[2]
+
+        t = timed(chain(lambda a, b, c, d_: compute_once(a, b, c, d_),
+                        lambda a, s, i: (a[0] + eps(s), a[1], a[2], a[3])),
+                  (x0, xs, us, cost), tag="compute_chain")
+        row["compute_chain_us"] = round((t - null) * 1e6, 1)
+
     # ---- ground truth: full-solve differencing -----------------------------
     if not args.skip_body:
         print(f"[glue] compiling streaming solve "

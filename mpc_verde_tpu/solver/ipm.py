@@ -281,8 +281,8 @@ def make_streaming_barrier_solver(
         margin = interior_margin * (ub_np - lb_np)
         us = jnp.clip(jnp.asarray(us_init, dtype=dt_f),
                       lb_np + margin, ub_np - margin)
-        mu0 = np.full((M, N + 1, 1), mus[0])
-        ps_aug = jnp.concatenate([ps, jnp.asarray(mu0, dt_f)], axis=-1)
+        mu0 = jnp.full((M, N + 1, 1), float(mus[0]), dt_f)
+        ps_aug = jnp.concatenate([ps, mu0], axis=-1)
         return ssolve(x0s, ps_aug, us, max_iters, restarts_n)
 
     return solve
