@@ -379,11 +379,14 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         def body(carry):
             state, book, out = carry
             state, book, out = refill(state, book, out)
-            if R == 1:
+            # python-unrolled (NOT fori_loop): a fori_loop pays the same
+            # ~107 us/iteration loop-turnaround as the outer while
+            # (measured: compute_chain 189 us vs in-loop body 296 us,
+            # benchmarks/glue.py r4), so cadence only pays off if the R
+            # compute iterations are straight-line code — R-fold fewer
+            # loop turnarounds for an R-fold larger body program.
+            for _ in range(R):
                 state, book = compute(state, book)
-            else:
-                state, book = jax.lax.fori_loop(
-                    0, R, lambda i, c: compute(*c), (state, book))
             return (state, book, out)
 
         _, _, out = jax.lax.while_loop(cond, body, (state0, book0, out0))
