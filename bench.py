@@ -148,11 +148,13 @@ def bench_mesh(args):
     Per-device load is fixed (``--queue`` problems per device); the mesh is
     n = 1, 2, ..., args.mesh virtual (or real) devices.  On this image the
     host has 2 cores serving the virtual CPU devices, so raw wall-clock
-    cannot scale past 2x; ``efficiency_8dev`` therefore isolates *sharding*
-    overhead from host-core limits: with both cores saturated from n = 2 on,
-    ideal weak scaling gives T(n) = (n/2) T(2), so
-    ``efficiency = (n/2) * T(2) / T(n)``.  On a real multi-chip mesh the
-    same harness reports true parallel efficiency (T(n) = T(1) ideal).
+    cannot scale past 2x; the virtual-mesh output therefore reports
+    ``sharding_overhead_{n}dev = min(1, T(base) * (n/base) / T(n))`` —
+    with the cores saturated from n = base on, ideal weak scaling gives
+    T(n) = (n/base) T(base), so the ratio isolates *sharding* cost
+    (collectives, imbalance) from the host-core limit; it is NOT a
+    parallel efficiency (VERDICT r3 #8).  Real chips (``--tpu-mesh``)
+    report true ``efficiency_{n}dev = T(1) / T(n)`` instead.
     """
     import os
 

@@ -146,10 +146,17 @@ def main():
 
     inf = np.float32(np.inf)
 
-    def _slot_resets(has, cand, state):
-        """The refill where-chain over the slot state (shared by both
-        variants; mirrors solver/streaming.py)."""
-        xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on, prob = state
+    capped = jnp.zeros((B,), bool)
+    rst = jnp.zeros((B,), jnp.int32)
+    alr = jnp.zeros((B,), jnp.int32)
+
+    def _slot_resets(has, fin, cand, state):
+        """The refill where-chain over the slot state — op-for-op the
+        production chain of solver/streaming.py's ``refill`` (incl. the
+        capped/rst/alr resets and the fin->idle prob transition), so the
+        measured cost matches what the solver actually pays per refill."""
+        (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on, prob,
+         capped_, rst_, alr_, iacc_) = state
         sel3 = has.reshape((B, 1, 1))
         xs = jnp.where(sel3, 0.0, xs)
         cost = jnp.where(has, inf, cost)
@@ -159,14 +166,19 @@ def main():
         stall = jnp.where(has, 0, stall)
         fail = jnp.where(has, False, fail)
         ddp_on = jnp.where(has, True, ddp_on)
+        capped_ = jnp.where(has, False, capped_)
         done = jnp.where(has, False, done)
-        prob = jnp.where(has, cand, prob)
-        return xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on, prob
+        prob = jnp.where(has, cand, jnp.where(fin, M, prob))
+        rst_ = jnp.where(has, 0, rst_)
+        iacc_ = jnp.where(has, 0, iacc_)
+        alr_ = jnp.where(has, 0, alr_)
+        return (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on,
+                prob, capped_, rst_, alr_, iacc_)
 
     def refill_packed(xs, us, cost, done, out):
         fin = done & (prob < M)
         widx = jnp.where(fin, prob, M)
-        conv = ~fail & jnp.isfinite(cost)
+        conv = ~fail & jnp.isfinite(cost) & ~capped
         row = jnp.concatenate(
             [xs.reshape(B, sx), us.reshape(B, su), cost[:, None],
              gnorm[:, None], (iacc + jnp.maximum(it, 0)).astype(f32)[:, None],
@@ -182,8 +194,9 @@ def main():
         x0s = qrow[:, :nx]
         ps_n = selb(qrow[:, nx:nx + sp].reshape(B, N + 1, npar), 0.0 * xs[:, :, :1] + 1.0)
         us = selb(qrow[:, nx + sp:].reshape(B, N, nu), us)
-        st = _slot_resets(has, cand, (xs, us, cost, reg, it, done, gnorm,
-                                      stall, fail, ddp_on, prob))
+        st = _slot_resets(has, fin, cand,
+                          (xs, us, cost, reg, it, done, gnorm, stall, fail,
+                           ddp_on, prob, capped, rst, alr, iacc))
         return (out, x0s, ps_n) + st
 
     def refill_legacy(xs, us, cost, done, out6_):
@@ -195,7 +208,7 @@ def main():
         o_cost = o_cost.at[widx].set(cost)
         o_gnorm = o_gnorm.at[widx].set(gnorm)
         o_it = o_it.at[widx].set(iacc + jnp.maximum(it, 0))
-        o_conv = o_conv.at[widx].set(~fail & jnp.isfinite(cost))
+        o_conv = o_conv.at[widx].set(~fail & jnp.isfinite(cost) & ~capped)
         rank = jnp.cumsum(fin.astype(jnp.int32)) - 1
         cand = nqp + rank
         has = fin & (cand < M)
@@ -205,8 +218,9 @@ def main():
         x0s = x0q[gidx]
         ps_n = selb(psq[gidx], 0.0 * xs[:, :, :1] + 1.0)
         us = selb(us0q[gidx], us)
-        st = _slot_resets(has, cand, (xs, us, cost, reg, it, done, gnorm,
-                                      stall, fail, ddp_on, prob))
+        st = _slot_resets(has, fin, cand,
+                          (xs, us, cost, reg, it, done, gnorm, stall, fail,
+                           ddp_on, prob, capped, rst, alr, iacc))
         return (o_xs, o_us, o_cost, o_gnorm, o_it, o_conv, x0s, ps_n) + st
 
     row = {"metric": "streaming_glue_us", "width": B, "N": N, "queue": M,
@@ -327,7 +341,9 @@ def main():
                 ocp, opt_b, backend=kern, batch_width=B,
                 refill_every=args.refill_every)).lower(
                 x0qs, psqs, usqs, 1, 0).as_text()
-            for op in ("scatter", "gather", "while", "sort", "fusion"):
+            # fusion is a compiled-HLO concept, not StableHLO — don't
+            # pretend to count it at this layer (docstring caveat)
+            for op in ("scatter", "gather", "while", "sort"):
                 row[f"hlo_{op}"] = txt.count(f"stablehlo.{op}")
         except Exception as e:  # pragma: no cover
             row["hlo_error"] = str(e)[:80]

@@ -74,10 +74,14 @@ def export_lane_change_run(path: str, xs, us, traj_xy, refs):
 
 
 def load_run(path: str) -> pd.DataFrame:
-    """Read a run table (csv, or xlsx via the stdlib reader)."""
-    if str(path).endswith(".xlsx"):
-        return pd.DataFrame(read_xlsx(path))
-    return pd.read_csv(path)
+    """Read a run table: csv, .xlsx via the stdlib reader, legacy Excel
+    (.xls/.xlsm) via pandas where an engine is available."""
+    p = str(path)
+    if p.endswith(".xlsx"):
+        return pd.DataFrame(read_xlsx(p))
+    if p.endswith((".xls", ".xlsm")):
+        return pd.read_excel(p)
+    return pd.read_csv(p)
 
 
 def compare_runs(run_a: pd.DataFrame, run_b: pd.DataFrame, columns=None,

@@ -175,6 +175,28 @@ def make_barrier_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     return solve
 
 
+def _barrier_term(u, lb_np, ub_np, mu):
+    """Log-barrier contribution ``-mu * sum(log(dist))`` with exact
+    boundary semantics for the streaming continuation:
+
+      * mu > 0, u strictly interior: the ordinary barrier value;
+      * mu > 0, u on/outside the box (d <= 0): **+inf** — the log term is
+        -inf, so -mu*log prices the candidate infinitely BAD and the
+        parallel line search rejects it (fraction-to-boundary rule; the
+        sentinel sign matters — an inf of the wrong sign would make
+        saturated candidates infinitely attractive);
+      * mu == 0 (the crossover round): exactly 0 with exactly-zero
+        derivatives (the outer where/select masks the untaken branch even
+        when it is +-inf), so the round IS plain exact-boxQP DDP.
+    """
+    d = jnp.concatenate([u - lb_np.astype(u.dtype),
+                         ub_np.astype(u.dtype) - u])
+    # d <= 0 -> log term -inf -> -mu * (-inf) = +inf (rejection)
+    pen = jnp.sum(jnp.where(d > 0, jnp.log(jnp.maximum(d, 1e-30)),
+                            -jnp.inf))
+    return jnp.where(mu > 0, -mu * pen, 0.0)
+
+
 def make_streaming_barrier_solver(
         ocp: OCP, options: ILQROptions = ILQROptions(),
         backend: str = "pallas_bw",
@@ -232,14 +254,7 @@ def make_streaming_barrier_solver(
     def stage_b(x, u, p):
         mu = p[npar]
         base = l(x, u, p[:npar])
-        # log barrier with an inf (not NaN) out-of-box value so rejection
-        # works at mu > 0; the where() keeps value AND derivatives exactly 0
-        # at the mu = 0 crossover round (select masks the untaken branch)
-        d = jnp.concatenate([u - lb_np.astype(u.dtype),
-                             ub_np.astype(u.dtype) - u])
-        pen = jnp.sum(jnp.where(d > 0, jnp.log(jnp.maximum(d, 1e-30)),
-                                jnp.inf))
-        return base + jnp.where(mu > 0, -mu * pen, 0.0)
+        return base + _barrier_term(u, lb_np, ub_np, mu)
 
     lf = ocp.terminal_cost
     F = ocp.dynamics

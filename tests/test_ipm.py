@@ -147,6 +147,33 @@ def test_streaming_barrier_matches_exact_ddp():
 
 
 @pytest.mark.slow
+def test_barrier_term_boundary_semantics():
+    """Regression (round-4 review): a control clipped exactly to the box
+    must price +inf (rejection) at mu > 0 — the sentinel's SIGN is what
+    implements the fraction-to-boundary rule; the inverted sign made
+    saturated candidates infinitely attractive.  At mu = 0 the term and
+    its gradient must be exactly zero even on the boundary."""
+    from mpc_verde_tpu.solver.ipm import _barrier_term
+
+    lb = np.array([-1.0, -0.5])
+    ub = np.array([1.0, 0.5])
+    interior = jnp.array([0.3, -0.2])
+    on_bound = jnp.array([1.0, 0.0])   # first coordinate saturated
+    outside = jnp.array([1.2, 0.0])
+
+    assert np.isfinite(float(_barrier_term(interior, lb, ub, 1e-2)))
+    assert float(_barrier_term(on_bound, lb, ub, 1e-2)) == np.inf
+    assert float(_barrier_term(outside, lb, ub, 1e-2)) == np.inf
+    # mu = 0 (crossover): exactly zero value AND gradient, boundary included
+    for u in (interior, on_bound, outside):
+        assert float(_barrier_term(u, lb, ub, 0.0)) == 0.0
+        g = jax.grad(lambda uu: _barrier_term(uu, lb, ub, 0.0))(u)
+        np.testing.assert_array_equal(np.array(g), 0.0)
+    # and the line-search acceptance logic can never prefer an infeasible
+    # candidate: +inf is worse than any finite cost
+    assert not (float(_barrier_term(on_bound, lb, ub, 1e-2)) < 1e30)
+
+
 def test_barrier_over_scan_backend_composes():
     """VERDICT r3 #7: the error message at batched.py's scan guard points
     bound problems at the IPM composition — prove it works: the barrier
