@@ -200,8 +200,7 @@ def _barrier_term(u, lb_np, ub_np, mu):
 def make_streaming_barrier_solver(
         ocp: OCP, options: ILQROptions = ILQROptions(),
         backend: str = "pallas_bw",
-        mu_schedule: Sequence[float] = (1.0, 1e-1, 1e-2, 1e-3,
-                                        1e-4, 1e-5, 1e-6),
+        mu_schedule: Sequence[float] = (1e-1, 1e-3, 1e-5),
         interior_margin: float = 1e-3,
         batch_width: int = 2048,
         restarts: int = 0,
@@ -232,6 +231,15 @@ def make_streaming_barrier_solver(
     box-QP enumeration limit, like every DDP fast path); for wider control
     vectors use ``make_barrier_solver(backend="xla")`` or the unbounded-
     subproblem composition with ``backend="scan"``.
+
+    The default ``mu_schedule`` is SHORTER than ``make_barrier_solver``'s
+    (3 stages at 100x steps vs 7 at 10x): in the streaming form every
+    stage has the full per-round iteration budget plus the in-place
+    ``restarts`` allowance, so the conservative continuation is
+    unnecessary — measured identical answers (max control gap 7.6e-7 vs
+    exact DDP) at ~30% fewer total iterations on the reference problem
+    set (benchmarks/RESULTS_r04.md).  Pass a longer schedule for harder
+    barrier geometry.
 
     Returns ``solve(x0s, params, us_init, max_iters=None, restarts_n=None)``
     with the streaming solver's calling convention; ``iterations`` is the

@@ -125,7 +125,7 @@ def test_streaming_barrier_matches_exact_ddp():
     from mpc_verde_tpu.solver.ipm import make_streaming_barrier_solver
 
     ocp = _diffdrive_ocp()
-    M = 12
+    M = 8
     rng = np.random.default_rng(5)
     x0s = jnp.array(rng.uniform(-2, 2, (M, 3)))
     params = jnp.broadcast_to(jnp.array([5.0, 5.0, 0.0]), (M, N + 1, 3))
@@ -135,7 +135,7 @@ def test_streaming_barrier_matches_exact_ddp():
         ocp, mv.ILQROptions(max_iters=80), backend="xla"))(x0s, params, us0)
     rs = jax.jit(make_streaming_barrier_solver(
         ocp, mv.ILQROptions(max_iters=80), backend="xla",
-        batch_width=5, restarts=1))(x0s, params, us0)
+        batch_width=4, restarts=1))(x0s, params, us0)
     assert bool(rd.converged.all()) and bool(rs.converged.all())
     # the crossover round pins active bounds exactly
     at_bound = np.isclose(np.abs(np.array(rd.us[..., 0])), 1.0, atol=1e-6)
@@ -224,12 +224,14 @@ def test_al_state_bounds_over_scan_backend():
                  x_ub=jnp.array([jnp.inf, 0.8, jnp.inf]))
     # use_ddp=False for the xla reference: backend="scan" is Gauss-Newton by
     # construction, and on this nonconvex problem full DDP can land on a
-    # different (worse) local optimum — method must match for parity
+    # different (worse) local optimum — method must match for parity.
+    # B=2: smallest batch (quick-lane budget); al_iters=3 is needed for the
+    # multipliers to tighten the box to the asserted tolerance
     opts = mv.ILQROptions(max_iters=60, al_iters=3, use_ddp=False)
     rng = np.random.default_rng(9)
-    x0s = jnp.array(rng.uniform(-0.5, 0.5, (3, 3)))
-    params = jnp.broadcast_to(jnp.array([2.0, 2.0, 0.0]), (3, N + 1, 3))
-    us0 = jnp.zeros((3, N, 2))
+    x0s = jnp.array(rng.uniform(-0.5, 0.5, (2, 3)))
+    params = jnp.broadcast_to(jnp.array([2.0, 2.0, 0.0]), (2, N + 1, 3))
+    us0 = jnp.zeros((2, N, 2))
     r_x = jax.jit(make_batched_ilqr_solver(ocp, opts, backend="xla"))(
         x0s, params, us0)
     r_s = jax.jit(make_batched_ilqr_solver(ocp, opts, backend="scan"))(
