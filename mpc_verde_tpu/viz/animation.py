@@ -67,5 +67,12 @@ def simulate(cat_states, cat_controls, t, step_horizon, N, reference,
     anim = FuncAnimation(fig, animate, init_func=init, frames=n_frames,
                          interval=interval_ms, blit=True)
     if save:
-        anim.save(filename, writer="pillow", fps=max(1, int(1000 / interval_ms)))
+        # the reference exports via ffmpeg (simulation_code.py:92-93); this
+        # image ships no ffmpeg binary, so prefer it when present and fall
+        # back to the pillow gif writer (same .gif artifact either way)
+        import matplotlib.animation as manim
+
+        writer = "ffmpeg" if manim.writers.is_available("ffmpeg") else "pillow"
+        anim.save(filename, writer=writer,
+                  fps=max(1, int(1000 / interval_ms)))
     return anim
