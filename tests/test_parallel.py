@@ -94,3 +94,40 @@ def test_sharded_streaming_matches_unsharded():
     ref = jax.jit(ssolve)(x0s, params, us0)
     np.testing.assert_array_equal(np.array(ref.cost), np.array(res.cost))
     np.testing.assert_array_equal(np.array(ref.us), np.array(res.us))
+
+
+def test_sharded_streaming_barrier_matches_unsharded():
+    """The streaming IPM (rounds continuation + packed refill) under
+    shard_map: the mu-column concat and the per-slot round machinery must
+    be shard-invariant — per-problem results match the unsharded solve."""
+    from mpc_verde_tpu.solver.ipm import make_streaming_barrier_solver
+
+    F = rk4_step(unicycle.f, T)
+    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+
+    def l(x, u, p):
+        e = x - p[:3]
+        return e @ Q @ e + u @ R @ u
+
+    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                 N=N, nx=3, nu=2, npar=3,
+                 control_bounds=mv.box_bounds(
+                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
+    isolve = make_streaming_barrier_solver(
+        ocp, mv.ILQROptions(max_iters=60), backend="xla",
+        batch_width=2, restarts=1)
+    mesh = batch_mesh()
+    solve_batch = make_sharded_solver(isolve, mesh, batched=True)
+
+    M = 16  # 2 problems per shard
+    rng = np.random.default_rng(23)
+    x0s = jnp.array(rng.uniform(-1, 1, (M, 3)), jnp.float32)
+    params = jnp.broadcast_to(TARGET.astype(jnp.float32), (M, N + 1, 3))
+    us0 = jnp.zeros((M, N, 2), jnp.float32)
+
+    res, stats = solve_batch(x0s, params, us0)
+    assert int(stats.n_converged) == M
+    ref = jax.jit(isolve)(x0s, params, us0)
+    np.testing.assert_array_equal(np.array(ref.cost), np.array(res.cost))
+    np.testing.assert_array_equal(np.array(ref.us), np.array(res.us))
