@@ -123,9 +123,13 @@ def roofline(N, nx, nu, npar, A, mean_iters, solves_per_s, use_ddp=True,
     #   - derivs megafusion ~17 us, Pallas backward ~3.3 us (phases.py r3),
     #   - packed refill glue ~17 us per refill tick (glue.py r4).
     # Floor per iteration = N*t_step + t_deriv + t_bwd + t_glue/refill_R.
+    # Validity: the constants were measured at W=1024 and the body is NOT
+    # width-flat beyond it (W sweep in benchmarks/RESULTS_r04.md: 0.289 ->
+    # 0.312 -> 0.394 us/problem-iteration at W=1024/2048/4096), so the
+    # width term only scales the ceiling up to the measured optimum.
     t_step, t_deriv, t_bwd, t_glue = 4.2e-6, 17e-6, 3.3e-6, 17e-6
     t_iter_floor = N * t_step + t_deriv + t_bwd + t_glue / max(refill_R, 1)
-    lat_rate = width / t_iter_floor        # problem-iterations/s ceiling
+    lat_rate = min(width, 1024) / t_iter_floor  # problem-iterations/s ceiling
     return {
         "roofline_bytes_per_prob_iter": bytes_per_iter,
         "roofline_flops_per_prob_iter": flops_per_iter,

@@ -146,7 +146,6 @@ def test_streaming_barrier_matches_exact_ddp():
     assert (np.array(rs.iterations) > np.array(rd.iterations)).all()
 
 
-@pytest.mark.slow
 def test_barrier_term_boundary_semantics():
     """Regression (round-4 review): a control clipped exactly to the box
     must price +inf (rejection) at mu > 0 — the sentinel's SIGN is what
@@ -174,6 +173,7 @@ def test_barrier_term_boundary_semantics():
     assert not (float(_barrier_term(on_bound, lb, ub, 1e-2)) < 1e30)
 
 
+@pytest.mark.slow
 def test_barrier_over_scan_backend_composes():
     """VERDICT r3 #7: the error message at batched.py's scan guard points
     bound problems at the IPM composition — prove it works: the barrier

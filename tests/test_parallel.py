@@ -18,7 +18,7 @@ T, N = 0.2, 8
 TARGET = jnp.array([5.0, 5.0, 0.0])
 
 
-def _solver():
+def _ocp():
     F = rk4_step(unicycle.f, T)
     Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
     R = jnp.diag(jnp.array([0.5, 0.05]))
@@ -27,11 +27,15 @@ def _solver():
         e = x - p[:3]
         return e @ Q @ e + u @ R @ u
 
-    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
-                 N=N, nx=3, nu=2, npar=3,
-                 control_bounds=mv.box_bounds(
-                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
-    return mv.make_ilqr_solver(ocp)
+    return mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
+                  N=N, nx=3, nu=2, npar=3,
+                  control_bounds=mv.box_bounds(
+                      jnp.array([-1.0, -np.pi / 4]),
+                      jnp.array([1.0, np.pi / 4])))
+
+
+def _solver():
+    return mv.make_ilqr_solver(_ocp())
 
 
 def test_mesh_has_8_devices():
@@ -65,19 +69,7 @@ def test_sharded_streaming_matches_unsharded():
     # per-problem results must match the unsharded solve exactly
     from mpc_verde_tpu.solver.streaming import make_streaming_solver
 
-    F = rk4_step(unicycle.f, T)
-    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
-    R = jnp.diag(jnp.array([0.5, 0.05]))
-
-    def l(x, u, p):
-        e = x - p[:3]
-        return e @ Q @ e + u @ R @ u
-
-    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
-                 N=N, nx=3, nu=2, npar=3,
-                 control_bounds=mv.box_bounds(
-                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
-    ssolve = make_streaming_solver(ocp, mv.ILQROptions(max_iters=60),
+    ssolve = make_streaming_solver(_ocp(), mv.ILQROptions(max_iters=60),
                                    backend="xla", batch_width=3, restarts=1)
     mesh = batch_mesh()
     solve_batch = make_sharded_solver(ssolve, mesh, batched=True)
@@ -102,20 +94,8 @@ def test_sharded_streaming_barrier_matches_unsharded():
     be shard-invariant — per-problem results match the unsharded solve."""
     from mpc_verde_tpu.solver.ipm import make_streaming_barrier_solver
 
-    F = rk4_step(unicycle.f, T)
-    Q = jnp.diag(jnp.array([1.0, 5.0, 0.1]))
-    R = jnp.diag(jnp.array([0.5, 0.05]))
-
-    def l(x, u, p):
-        e = x - p[:3]
-        return e @ Q @ e + u @ R @ u
-
-    ocp = mv.OCP(dynamics=lambda x, u, p: F(x, u, p), stage_cost=l,
-                 N=N, nx=3, nu=2, npar=3,
-                 control_bounds=mv.box_bounds(
-                     jnp.array([-1.0, -np.pi / 4]), jnp.array([1.0, np.pi / 4])))
     isolve = make_streaming_barrier_solver(
-        ocp, mv.ILQROptions(max_iters=60), backend="xla",
+        _ocp(), mv.ILQROptions(max_iters=60), backend="xla",
         batch_width=2, restarts=1)
     mesh = batch_mesh()
     solve_batch = make_sharded_solver(isolve, mesh, batched=True)
