@@ -64,6 +64,7 @@ def test_barrier_matches_exact_ddp_on_diffdrive():
     assert np.abs(np.array(rd.us) - np.array(rp.us)).max() < 1e-2
 
 
+@pytest.mark.slow
 def test_barrier_solves_nu3_beyond_enumeration_fastpath():
     # 3-D single integrator with 3 box-bounded velocity controls: nu=3 is
     # past the Pallas kernel's nu<=2 and exercises the barrier path's
@@ -206,6 +207,7 @@ def test_barrier_over_scan_backend_composes():
     assert np.abs(np.array(r_x.us) - np.array(r_s.us)).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_al_state_bounds_over_scan_backend():
     """VERDICT r3 #7 (second half): AL state bounds compose over
     backend="scan" — the augmented subproblems have no control bounds, so
