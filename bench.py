@@ -551,6 +551,11 @@ def main():
         "closedloop_N40_final_err_p99": round(
             float(np.percentile(err40, 99)), 4),
         "closedloop_N40_final_err_max": round(float(err40.max()), 4),
+        # distribution CHECK (VERDICT r3 #6): the whole fleet must be inside
+        # the reference's termination ball (single_shooting_v1.py:166 stops
+        # at ||err|| <= 0.1) — soft flag, never a crash (the driver must
+        # always receive the JSON line)
+        "closedloop_N40_err_within_ref_ball": bool(float(err40.max()) <= 0.1),
         **ipm,
         **roofline(N, ocp.nx, ocp.nu, 3, opts.n_alphas,
                    max(float(res_f.iterations.mean()), 1.0), full_sps,
