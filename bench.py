@@ -403,10 +403,11 @@ def main():
     dtw, res_w = min((stream(x0q + jnp.float32(0.02), warm_us, FULL)
                       for _ in range(args.reps)), key=lambda t: t[0])
 
-    # Provisional headline line NOW (flushed): if a driver-side timeout
-    # kills the remaining sections (each pays its own multi-minute remote
-    # compile on this image), the tail of stdout still carries a valid
-    # result line.  The complete line printed at the end supersedes it.
+    # Provisional headline line NOW, on STDERR (flushed): if a driver-side
+    # timeout kills the remaining sections (each pays its own multi-minute
+    # remote compile on this image), the log tail still carries a valid
+    # result line — while stdout keeps the one-JSON-line contract (a
+    # consumer grabbing the first stdout object must never see a partial).
     per_chip_target = 10000.0 / 16.0  # BASELINE.json: >=10k on v5e-16
     print(json.dumps({
         "metric": f"batched_mpc_solves_per_s_chip_N{N}",
@@ -415,7 +416,7 @@ def main():
         "backend": backend, "solver": "streaming-full", "partial": True,
         "converged_frac": round(float(res_f.converged.mean()), 4),
         "compile_s": round(compile_s, 1),
-    }), flush=True)
+    }), file=sys.stderr, flush=True)
 
     # round-1 fixed-batch solver (latency-oriented mode), B=args.batch
     fast_opts = __import__("dataclasses").replace(opts, max_iters=args.iters)

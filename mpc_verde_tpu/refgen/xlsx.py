@@ -129,7 +129,15 @@ def write_xlsx(path: str, columns: dict, index: bool = True):
     NaN, like the reference's pandas round-trip).
     """
     names = list(columns.keys())
-    cols = [np.asarray(columns[k], dtype=float).ravel() for k in names]
+    cols = []
+    for k in names:
+        try:
+            cols.append(np.asarray(columns[k], dtype=float).ravel())
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"write_xlsx supports numeric columns only; column {k!r} "
+                "is not convertible to float (read_xlsx can read string "
+                "cells, but the writer does not emit them)") from e
     n = max((len(c) for c in cols), default=0)
     if index:
         names = [""] + names
@@ -148,7 +156,11 @@ def write_xlsx(path: str, columns: dict, index: bool = True):
             if i >= len(col) or not np.isfinite(col[i]):
                 continue
             v = col[i]
-            txt = repr(int(v)) if float(v).is_integer() else repr(float(v))
+            # int repr only within exact-f64 range: 1e300.is_integer() is
+            # True but a 301-digit integer cell breaks some xlsx consumers
+            txt = (repr(int(v))
+                   if float(v).is_integer() and abs(v) < 2.0 ** 53
+                   else repr(float(v)))
             cells.append(f'<c r="{_col_name(j)}{i + 2}"><v>{txt}</v></c>')
         parts.append(f'<row r="{i + 2}">{"".join(cells)}</row>')
     parts.append("</sheetData></worksheet>")

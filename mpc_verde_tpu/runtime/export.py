@@ -81,7 +81,11 @@ def load_run(path: str) -> pd.DataFrame:
         return pd.DataFrame(read_xlsx(p))
     if p.endswith((".xls", ".xlsm")):
         return pd.read_excel(p)
-    return pd.read_csv(p)
+    if p.endswith(".csv"):
+        return pd.read_csv(p)
+    raise ValueError(
+        f"load_run: unrecognized extension on {p!r}; supported formats are "
+        ".csv, .xlsx, .xls, .xlsm")
 
 
 def compare_runs(run_a: pd.DataFrame, run_b: pd.DataFrame, columns=None,

@@ -339,7 +339,7 @@ def _broadcast_params(ocp: OCP, ps, B, dt_f):
 
 
 def _accept_and_update(opt: ILQROptions, carry, gmax, xs_b, us_b, new_cost,
-                       fresh=None):
+                       fresh=None, tol_scale=None):
     """Shared per-iteration acceptance / convergence / freeze logic.
 
     ``carry`` is the 10-tuple (xs, us, cost, reg, it, done, gnorm, stall,
@@ -347,22 +347,28 @@ def _accept_and_update(opt: ILQROptions, carry, gmax, xs_b, us_b, new_cost,
     bool (B,)) marks streaming-solver slots whose "line search" this
     iteration was really the initial rollout of a just-loaded problem: they
     accept unconditionally and are exempt from convergence judgments.
+    ``tol_scale`` (optional (B,) >= 1) loosens the convergence tolerances
+    per batch member — runtime data, so continuation solvers (the streaming
+    IPM) can solve early subproblems inexactly, IPOPT-style, without a
+    recompile.  1.0 (or None) is the exact strict test.
     """
     xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = carry
     B = cost.shape[0]
     improved = new_cost < cost - 1e-12
 
-    small_step = jnp.abs(cost - new_cost) < opt.tol_cost * (1.0 + jnp.abs(cost))
+    tsc = 1.0 if tol_scale is None else tol_scale
+    small_step = (jnp.abs(cost - new_cost)
+                  < tsc * opt.tol_cost * (1.0 + jnp.abs(cost)))
     stall_n = jnp.where(improved, 0, stall + 1)
     stalled = stall_n >= opt.stall_iters
     # DDP -> Gauss-Newton fallback on stalled line search (see ilqr.py)
     ddp_off_now = (stalled & ddp_on
-                   & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
+                   & (gmax > tsc * opt.tol_grad * opt.ddp_fallback_factor))
     ddp_on_n = ddp_on & ~ddp_off_now
     stall_n = jnp.where(ddp_off_now, 0, stall_n)
     new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
                 | ~jnp.isfinite(cost))
-    new_done = ((gmax < opt.tol_grad)
+    new_done = ((gmax < tsc * opt.tol_grad)
                 | (improved & small_step)
                 | (stalled & ~ddp_off_now)
                 | new_fail)

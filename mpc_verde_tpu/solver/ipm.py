@@ -200,11 +200,12 @@ def _barrier_term(u, lb_np, ub_np, mu):
 def make_streaming_barrier_solver(
         ocp: OCP, options: ILQROptions = ILQROptions(),
         backend: str = "pallas_bw",
-        mu_schedule: Sequence[float] = (1e-1, 1e-3, 1e-5),
+        mu_schedule: Sequence[float] = (1e-2, 1e-4),
         interior_margin: float = 1e-3,
         batch_width: int = 2048,
         restarts: int = 0,
-        refill_every: int = 1):
+        refill_every: int = 1,
+        inexact_kappa: float = 10.0):
     """Streaming (continuous-batching) interior-point solve (VERDICT r3 #5).
 
     ``make_barrier_solver`` runs the mu continuation as K successive batched
@@ -233,31 +234,64 @@ def make_streaming_barrier_solver(
     subproblem composition with ``backend="scan"``.
 
     The default ``mu_schedule`` is SHORTER than ``make_barrier_solver``'s
-    (3 stages at 100x steps vs 7 at 10x): in the streaming form every
-    stage has the full per-round iteration budget plus the in-place
-    ``restarts`` allowance, so the conservative continuation is
-    unnecessary — measured identical answers (max control gap 7.6e-7 vs
-    exact DDP) at ~30% fewer total iterations on the reference problem
-    set (benchmarks/RESULTS_r04.md).  Pass a longer schedule for harder
-    barrier geometry.
+    (2 stages vs 7): in the streaming form every stage has the full
+    per-round iteration budget plus the in-place ``restarts`` allowance,
+    so the conservative continuation is unnecessary.  The round-5 sweep
+    (N=40 diff-drive, docs/design.md "Streaming IPM") found the
+    quality-safe frontier needs a final interior stage at mu <= 1e-4 —
+    crossing over from mu >= 1e-3 lands a large fraction of problems in
+    worse local optima (p99 relative cost regression 0.1-0.4) — and that
+    total iterations plateau at ~43 across (1e-2..1e-3, 1e-4) schedules:
+    the iterate's crawl toward its active set costs the same wherever the
+    schedule places it.  (1e-2, 1e-4) + crossover with inexact_kappa=10
+    keeps the relative-cost distribution at the exact-DDP noise floor.
+    Pass a longer schedule for harder barrier geometry.
+
+    ``inexact_kappa``: early barrier subproblems are solved INEXACTLY —
+    the inner convergence tolerance at barrier parameter mu is
+    ``max(kappa * mu, tol)`` (both tol_grad and tol_cost scale together).
+    This is IPOPT's own barrier-tolerance strategy ("adaptive mu" /
+    monotone mode with loose inner tolerance, the defaults behind
+    ``ca.nlpsol`` at ``Casadi/single_shooting_v1.py:121-129``): there is
+    no point polishing a subproblem whose optimum sits O(mu) away from the
+    true one.  The mu = 0 crossover round always runs at the strict
+    tolerance (the scale is ``max(kappa*0/tol, 1) = 1``), so final
+    convergence semantics are unchanged.  0 disables (round-4 exact
+    behavior).  The tolerance rides the per-slot mu column as runtime
+    data — one executable either way.
+
+    State box bounds (``ocp.x_lb``/``x_ub``) COMPOSE with the barrier: the
+    augmented-Lagrangian state-penalty continuation (lam, mu_al) and the
+    barrier continuation (mu) ride the SAME per-slot rounds machinery as a
+    product schedule — each round advance steps the mu column down its
+    schedule AND applies the PHR multiplier update, over
+    ``max(len(mu_schedule) + 1, options.al_iters)`` rounds.  Semantically
+    this interleaves the two outer loops instead of nesting them (the
+    nested form — a full AL solve per mu stage — is what
+    ``make_barrier_solver`` + the batched AL solver does; the interleaved
+    form reaches the same KKT point in far fewer rounds, parity-tested in
+    tests/test_ipm.py).  The reference's circular-track family (state
+    boxes at ``Trajectory Tracking/Trajectory_tracking.py:63-67``) streams
+    through this path.
 
     Returns ``solve(x0s, params, us_init, max_iters=None, restarts_n=None)``
     with the streaming solver's calling convention; ``iterations`` is the
     total across the continuation (including the crossover round).
     """
     from .streaming import make_streaming_solver
+    from .batched import _al_cvals, _augment_ocp_al
 
-    if ocp.has_state_bounds:
-        raise NotImplementedError(
-            "streaming barrier solver: state bounds would need the AL "
-            "continuation composed with the mu continuation; use "
-            "make_barrier_solver or the streaming DDP solver (AL) instead")
     lb, ub = _constant_box(ocp)
     lb_np = np.asarray(lb, dtype=np.float64)
     ub_np = np.asarray(ub, dtype=np.float64)
     npar = max(ocp.npar, 1)
-    N, nu = ocp.N, ocp.nu
+    N, nx, nu = ocp.N, ocp.nx, ocp.nu
     l = ocp.stage_cost
+    opt = options
+    has_xb = ocp.has_state_bounds
+    if has_xb and opt.al_iters < 1:
+        raise ValueError("streaming barrier solver with state bounds needs "
+                         "options.al_iters >= 1")
 
     def stage_b(x, u, p):
         mu = p[npar]
@@ -277,21 +311,66 @@ def make_streaming_barrier_solver(
     )
     # continuation: mu_schedule stages then the mu = 0 crossover round
     mus = np.asarray(tuple(float(m) for m in mu_schedule) + (0.0,))
-    n_rounds = len(mus)
+    n_mu = len(mus)
 
-    def advance(ps, xs, rnd):
-        mu_next = jnp.take(mus.astype(ps.dtype),
-                           jnp.clip(rnd + 1, 0, n_rounds - 1))
-        return jnp.concatenate(
-            [ps[:, :, :npar],
-             jnp.broadcast_to(mu_next[:, None, None],
-                              ps.shape[:2] + (1,)).astype(ps.dtype)],
-            axis=-1)
+    if has_xb:
+        # Product composition with the AL state-bound continuation: augment
+        # the barrier OCP with the PHR penalty (params [p, mu_b, lam (2nx),
+        # mu_al]) and advance BOTH continuations at every round boundary.
+        cvals = _al_cvals(ocp_b)            # same x_lb/x_ub as ocp
+        ocp_run = _augment_ocp_al(ocp_b)    # strips state bounds
+        nlam = 2 * nx
+        # +1: the interleaved lam updates ride looser mid-continuation
+        # iterates than the nested form's (inexact inner rounds), so one
+        # extra strict round (mu already 0, lam from a converged solve)
+        # recovers the plain AL path's constraint tightness — measured
+        # ~6 extra iterations for a ~10x violation reduction
+        n_rounds = max(n_mu, opt.al_iters) + 1
+        npar_b = npar + 1
+        # cap the penalty escalation at what options.al_iters rounds of the
+        # plain AL path would reach: extra interleaved rounds keep updating
+        # lam but must not push mu_al into ill-conditioning
+        mu_al_cap = float(opt.al_mu0 * opt.al_mu_factor ** (opt.al_iters - 1))
+
+        def advance(ps, xs, rnd):
+            mu_next = jnp.take(mus.astype(ps.dtype),
+                               jnp.clip(rnd + 1, 0, n_mu - 1))
+            mu_col = jnp.broadcast_to(mu_next[:, None, None],
+                                      ps.shape[:2] + (1,)).astype(ps.dtype)
+            c = jax.vmap(jax.vmap(cvals))(xs)          # (B, N+1, 2nx)
+            c = jnp.where(jnp.isfinite(c), c, -1.0)
+            lam = ps[:, :, npar_b:npar_b + nlam]
+            mu_al = ps[:, :, npar_b + nlam:]
+            lam_n = jnp.maximum(0.0, lam + mu_al * c)
+            mu_al_n = jnp.minimum(mu_al * opt.al_mu_factor, mu_al_cap)
+            return jnp.concatenate(
+                [ps[:, :, :npar], mu_col, lam_n, mu_al_n], axis=-1)
+    else:
+        ocp_run = ocp_b
+        n_rounds = n_mu
+
+        def advance(ps, xs, rnd):
+            mu_next = jnp.take(mus.astype(ps.dtype),
+                               jnp.clip(rnd + 1, 0, n_mu - 1))
+            return jnp.concatenate(
+                [ps[:, :, :npar],
+                 jnp.broadcast_to(mu_next[:, None, None],
+                                  ps.shape[:2] + (1,)).astype(ps.dtype)],
+                axis=-1)
+
+    tol_scale_fn = None
+    if inexact_kappa > 0:
+        kap = float(inexact_kappa)
+        tg = float(opt.tol_grad)
+
+        def tol_scale_fn(ps):
+            # mu is constant across stages within a slot; read stage 0
+            return jnp.maximum(kap * ps[:, 0, npar] / tg, 1.0)
 
     ssolve = make_streaming_solver(
-        ocp_b, options, backend=backend, batch_width=batch_width,
+        ocp_run, options, backend=backend, batch_width=batch_width,
         restarts=restarts, refill_every=refill_every,
-        rounds=(n_rounds, advance))
+        rounds=(n_rounds, advance), tol_scale_fn=tol_scale_fn)
 
     def solve(x0s, params=None, us_init=None, max_iters=None,
               restarts_n=None):
@@ -305,7 +384,29 @@ def make_streaming_barrier_solver(
         us = jnp.clip(jnp.asarray(us_init, dtype=dt_f),
                       lb_np + margin, ub_np - margin)
         mu0 = jnp.full((M, N + 1, 1), float(mus[0]), dt_f)
-        ps_aug = jnp.concatenate([ps, mu0], axis=-1)
-        return ssolve(x0s, ps_aug, us, max_iters, restarts_n)
+        cols = [ps, mu0]
+        if has_xb:
+            cols += [jnp.zeros((M, N + 1, nlam), dt_f),
+                     jnp.full((M, N + 1, 1), float(opt.al_mu0), dt_f)]
+        res = ssolve(x0s, jnp.concatenate(cols, axis=-1), us,
+                     max_iters, restarts_n)
+        if not has_xb:
+            return res
+        # the loop's stored cost is the AL-augmented one at the final
+        # multipliers; report the true cost and the state-box violation
+        lfv = lf or (lambda x, p: jnp.zeros((), dtype=x.dtype))
+
+        def traj_cost(xs_1, us_1, ps_1):
+            cs = jax.vmap(l)(xs_1[:N], us_1, ps_1[:N])
+            return jnp.sum(cs) + lfv(xs_1[N], ps_1[N])
+
+        cost_q = jax.vmap(traj_cost)(res.xs, res.us, ps)
+        cv = jax.vmap(jax.vmap(cvals))(res.xs)
+        viol_q = jnp.max(jnp.maximum(
+            0.0, jnp.where(jnp.isfinite(cv), cv, 0.0)), axis=(1, 2))
+        return ILQRResult(
+            xs=res.xs, us=res.us, cost=cost_q, grad_norm=res.grad_norm,
+            iterations=res.iterations, converged=res.converged,
+            max_violation=viol_q)
 
     return solve

@@ -48,7 +48,8 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                           linesearch: str = "materialize",
                           restarts: int = 0,
                           refill_every: int = 1,
-                          rounds=None):
+                          rounds=None,
+                          tol_scale_fn=None):
     """Build ``solve(x0s, params, us_init) -> ILQRResult`` over a problem queue.
 
     Args of the returned function have a leading *queue* axis of length M
@@ -91,6 +92,13 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
     (B,) int32 -> ps) and restarts fresh in place, with the full per-round
     restart budget.  Mutually exclusive with state bounds (which install
     the AL spec internally).
+
+    ``tol_scale_fn``: optional ``ps (B, N+1, npar) -> (B,)`` per-slot
+    convergence-tolerance multiplier (>= 1), evaluated every iteration from
+    the slot's CURRENT param tensor.  Continuation solvers use it to solve
+    early rounds inexactly (IPOPT's inexact-barrier-subproblem strategy —
+    the tolerance rides the continuation data, so no recompile); the final
+    round's params must map to 1.0 for strict final convergence.
     """
     if ocp.nu > 4 and backend.startswith("pallas"):
         raise NotImplementedError(
@@ -310,9 +318,10 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             Ks = jnp.where(fresh.reshape((B, 1, 1, 1)), 0.0, Ks)
             gmax = jnp.where(fresh, inf, gmax)
             xs_b, us_b, new_cost = parts.linesearch(x0s, xs, us, ps, kffs, Ks)
+            tsc = None if tol_scale_fn is None else tol_scale_fn(ps)
             st = _accept_and_update(
                 opt, (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on),
-                gmax, xs_b, us_b, new_cost, fresh=fresh)
+                gmax, xs_b, us_b, new_cost, fresh=fresh, tol_scale=tsc)
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = st
 
             # per-slot iteration budget (the batched solver's loop-level cap)
