@@ -386,6 +386,28 @@ def main():
     dt, res = min((stream(x0q, us0q, FAST) for _ in range(args.reps)),
                   key=lambda t: t[0])
 
+    # Headline reconciliation (VERDICT r4 W1/W2): measure the per-iteration
+    # body on the SAME executable by budget differencing — budgets are
+    # runtime scalars — dividing by the MEASURED iteration delta (converged
+    # problems free their slots before the cap, so the budget delta is the
+    # wrong divisor; that bias hid a 43% gap between the published body and
+    # the headline for a full round).  Then assert the identity
+    #   solves/s ~= W / ((mean_iters + 2/refill_R) * body)
+    # within 10%: the +2/R counts each problem's fresh-rollout pass and
+    # scatter tick, which differencing cancels but the headline pays.
+    def _probe(mi):
+        t0 = time.time()
+        r = ssolve(x0q, psq, us0q, mi, 0)
+        it_total = barrier(r)
+        return time.time() - t0, it_total
+
+    t1, it1 = min(_probe(1) for _ in range(args.reps))
+    t21, it21 = min(_probe(21) for _ in range(args.reps))
+    body_s = (t21 - t1) / max((it21 - it1) / args.width, 1e-9)
+    passes = float(res_f.iterations.mean()) + 2.0 / max(args.refill_every, 1)
+    predicted_sps = args.width / (passes * body_s)
+    recon_ratio = predicted_sps / full_sps
+
     # synchronous whole-queue latency (single dispatch, blocked)
     ltimes = []
     for r in range(args.reps):
@@ -449,18 +471,38 @@ def main():
     def cl_barrier(r):
         return float(jnp.sum(r.xs[-1]))
 
-    def closedloop(Ncl, Bc=None, Nsim=84):
+    def closedloop(Ncl, Bc=None, Nsim=84, randomized=False, max_iters=20):
         """Fleet of Bc plants running the Nsim-step receding-horizon loop
         (the reference's 84-step diff-drive run, single_shooting_v1.py) at
-        horizon Ncl; returns (min wall time, final-position-error array)."""
+        horizon Ncl; returns (min wall time, final-position-error array,
+        Bc, per-step fleet convergence fraction (Nsim,)).
+
+        ``randomized=True`` (VERDICT r4 W3): every plant gets its own
+        initial state (uniform in the queue's +-2 ball) AND its own target
+        (uniform +-0.5 around the reference's (10, 10)), so the reported
+        final-error percentiles describe a genuinely diverse fleet instead
+        of 1024 copies of one trajectory.  The 0.1 termination-ball gate
+        (single_shooting_v1.py:166) is then checked against each plant's
+        OWN target."""
         Bc = min(1024, args.batch) if Bc is None else Bc
         ocp_cl = build_ocp(Ncl)
-        cl_opts = dataclasses.replace(opts, max_iters=20)
+        cl_opts = dataclasses.replace(opts, max_iters=max_iters)
         run_cl = jax.jit(make_batched_receding_horizon(
             ocp_cl, make_batched_ilqr_solver(ocp_cl, cl_opts, backend=kern),
             lambda x, u, pp: plant(x, u, None), Nsim))
-        x0c = jnp.zeros((Bc, 3), jnp.float32)
-        psc = jnp.broadcast_to(target, (Nsim, Ncl + 1, 3)).astype(jnp.float32)
+        rng_c = np.random.default_rng(7)
+        if randomized:
+            x0c = jnp.array(rng_c.uniform(-2.0, 2.0, (Bc, 3)), jnp.float32)
+            tgt = np.broadcast_to(np.asarray(target), (Bc, 3)).copy()
+            tgt[:, :2] += rng_c.uniform(-0.5, 0.5, (Bc, 2))
+            tgt = jnp.asarray(tgt, jnp.float32)
+            psc = jnp.broadcast_to(
+                tgt[None, :, None, :], (Nsim, Bc, Ncl + 1, 3))
+        else:
+            x0c = jnp.zeros((Bc, 3), jnp.float32)
+            tgt = jnp.broadcast_to(target, (Bc, 3))
+            psc = jnp.broadcast_to(target,
+                                   (Nsim, Ncl + 1, 3)).astype(jnp.float32)
         rc = run_cl(x0c, psc)
         cl_barrier(rc)
         ctimes = []
@@ -470,14 +512,30 @@ def main():
             rc = run_cl(xr, psc)
             cl_barrier(rc)
             ctimes.append(time.time() - t0)
-        err = jnp.linalg.norm(rc.xs[-1, :, :2] - target[:2], axis=-1)
-        return min(ctimes), np.asarray(err), Bc
+        err = jnp.linalg.norm(rc.xs[-1, :, :2] - tgt[:, :2], axis=-1)
+        step_conv = np.asarray(rc.converged.mean(axis=1))   # (Nsim,)
+        return min(ctimes), np.asarray(err), Bc, step_conv
 
     Nsim = 84
-    dtc, err, Bc = closedloop(10)
-    # VERDICT r3 #6: the flagship serving number at the BASELINE workload's
-    # horizon — N=40 fleet, with the final-error DISTRIBUTION reported
-    dtc40, err40, Bc40 = closedloop(40)
+    dtc, err, Bc, _ = closedloop(10)
+    # VERDICT r3 #6 + r4 W3/W7: the flagship serving number at the BASELINE
+    # workload's horizon — an N=40 fleet of RANDOMIZED plants (diverse x0
+    # and per-plant targets), with the final-error DISTRIBUTION and the
+    # per-step fleet convergence fraction reported.  Nsim=110 (not the
+    # fixed-start run's 84): a plant starting at the -2 ball corner heading
+    # for a +0.5-perturbed target has up to ~17.7 of path to cover at
+    # v <= 1, T = 0.2 -> 84 steps (16.8 reachable) cannot honestly meet the
+    # 0.1 ball for the whole fleet; 110 steps (22.0) can, with margin for
+    # turning.  Throughput keys are per-step, so they stay comparable.
+    # max_iters=80: the step-0 COLD solves of a randomized fleet need the
+    # full cold-crawler budget (measured: cap 40 leaves ~1.6% of plants
+    # budget-capped on step 0, cap 80 converges 100%) — which the
+    # step-conv key would rightly flag.  The while_loop exits early on
+    # warm steps (mean ~7 iters), so the larger cap only costs time on
+    # step 0 where stragglers actually run (~3% of fleet wall time).
+    Nsim40 = 110
+    dtc40, err40, Bc40, conv40 = closedloop(40, Nsim=Nsim40, randomized=True,
+                                            max_iters=80)
 
     # interior-point path (IPOPT-family analogue): the STREAMING mu
     # continuation (VERDICT r3 #5) — per-slot mu rounds + in-place restarts
@@ -524,6 +582,16 @@ def main():
         "compile_first_dispatch_s": round(first_dispatch_s, 1),
         "queue_ms": round(dtf * 1e3, 2),
         "sync_latency_ms": round(sync_ms, 2),
+        # honest per-iteration body (budget differencing with the MEASURED
+        # iteration-delta divisor) + the reconciliation identity headline ~=
+        # W / ((mean_iters + 2/R) * body).  A ratio outside [0.9, 1.1]
+        # means one of the two measurements is lying (VERDICT r4 W1/W2).
+        "body_us": round(body_s * 1e6, 1),
+        "body_probe_mean_iters_b1": round(it1 / M, 2),
+        "body_probe_mean_iters_b21": round(it21 / M, 2),
+        "predicted_solves_per_s": round(predicted_sps, 1),
+        "reconciliation_ratio": round(recon_ratio, 3),
+        "reconciliation_ok": bool(0.9 <= recon_ratio <= 1.1),
         "fast_solves_per_s": round(M / dt, 1),
         "fast_converged_frac": round(float(res.converged.mean()), 4),
         "fast_mean_iterations": round(float(res.iterations.mean()), 2),
@@ -541,12 +609,15 @@ def main():
         "closedloop_realtime_factor": round(0.2 / (dtc / Nsim), 1),
         "closedloop_final_err_max": round(float(err.max()), 4),
         # N=40 fleet: horizon matches the BASELINE headline workload; the
-        # final-error DISTRIBUTION is asserted, not just the max
+        # fleet is RANDOMIZED (per-plant x0 AND target, VERDICT r4 W3), so
+        # the error percentiles describe a real distribution
         "closedloop_N40_plants": Bc40,
-        "closedloop_N40_mpc_steps_per_s": round(Bc40 * Nsim / dtc40, 1),
+        "closedloop_N40_nsim": Nsim40,
+        "closedloop_N40_randomized": True,
+        "closedloop_N40_mpc_steps_per_s": round(Bc40 * Nsim40 / dtc40, 1),
         "closedloop_N40_us_per_step_per_plant": round(
-            dtc40 / Nsim / Bc40 * 1e6, 2),
-        "closedloop_N40_realtime_factor": round(0.2 / (dtc40 / Nsim), 1),
+            dtc40 / Nsim40 / Bc40 * 1e6, 2),
+        "closedloop_N40_realtime_factor": round(0.2 / (dtc40 / Nsim40), 1),
         "closedloop_N40_final_err_p50": round(
             float(np.percentile(err40, 50)), 4),
         "closedloop_N40_final_err_p99": round(
@@ -554,9 +625,14 @@ def main():
         "closedloop_N40_final_err_max": round(float(err40.max()), 4),
         # distribution CHECK (VERDICT r3 #6): the whole fleet must be inside
         # the reference's termination ball (single_shooting_v1.py:166 stops
-        # at ||err|| <= 0.1) — soft flag, never a crash (the driver must
-        # always receive the JSON line)
+        # at ||err|| <= 0.1), each plant against its OWN target — soft
+        # flag, never a crash (the driver must always receive the JSON line)
         "closedloop_N40_err_within_ref_ball": bool(float(err40.max()) <= 0.1),
+        # per-step fleet solver convergence (VERDICT r4 W7): a mid-
+        # trajectory solve that silently hit its iteration cap is visible
+        # here even when the fleet still lands in the ball
+        "closedloop_N40_step_conv_min": round(float(conv40.min()), 4),
+        "closedloop_N40_step_conv_mean": round(float(conv40.mean()), 4),
         **ipm,
         **roofline(N, ocp.nx, ocp.nu, 3, opts.n_alphas,
                    max(float(res_f.iterations.mean()), 1.0), full_sps,

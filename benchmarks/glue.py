@@ -48,6 +48,16 @@ def main():
     ap.add_argument("--unrolls", default="1,4,8")
     ap.add_argument("--refill-every", type=int, default=1,
                     help="cadence for the body_diff probe")
+    ap.add_argument("--ls-unroll", type=int, default=1,
+                    help="rollout/line-search scan unroll for the body_diff "
+                         "probe — the r4 'unroll is slower' verdict came "
+                         "from CHAINED probes, which pipeline across calls "
+                         "and hide serial launch gaps; only the in-loop "
+                         "body measurement is ground truth")
+    ap.add_argument("--n-alphas", type=int, default=8,
+                    help="line-search grid width for the body_diff probe "
+                         "(r5: the in-loop body is per-problem COMPUTE "
+                         "dominated, and line-search work scales with A)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-body", action="store_true",
                     help="skip the full-solve differencing probe (no "
@@ -306,7 +316,11 @@ def main():
               f"(refill_every={args.refill_every})...",
               file=sys.stderr, flush=True)
         row["refill_every"] = args.refill_every
-        opt_b = dataclasses.replace(base_opt, max_iters=40)
+        row["ls_unroll"] = args.ls_unroll
+        row["n_alphas"] = args.n_alphas
+        opt_b = dataclasses.replace(base_opt, max_iters=40,
+                                    ls_unroll=args.ls_unroll,
+                                    n_alphas=args.n_alphas)
         ssolve = jax.jit(make_streaming_solver(
             ocp, opt_b, backend=kern, batch_width=B,
             refill_every=args.refill_every))

@@ -6,4 +6,5 @@ from .ipm import make_barrier_solver, make_streaming_barrier_solver
 from .condensed import (blocking_matrix, condense, prediction_matrices,
                         solve_condensed, solve_dense_boxqp)
 from .multiple_shooting import make_ms_solver
+from .warmstart import make_lqr_warm_start
 from .nlp import NLPOptions, NLPResult, make_nlpsol

@@ -366,7 +366,13 @@ def _accept_and_update(opt: ILQROptions, carry, gmax, xs_b, us_b, new_cost,
                    & (gmax > tsc * opt.tol_grad * opt.ddp_fallback_factor))
     ddp_on_n = ddp_on & ~ddp_off_now
     stall_n = jnp.where(ddp_off_now, 0, stall_n)
-    new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
+    # reg exhaustion is a FAILURE only while the gradient is still large;
+    # with a small gradient it is numerical stationarity (same threshold as
+    # the stall path) — critical for already-optimal warm starts, where no
+    # candidate can improve and reg hits reg_max in exactly stall_iters
+    # rejections, outracing the graceful stall termination (see ilqr.py)
+    new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now
+                 & (gmax > tsc * opt.tol_grad * opt.ddp_fallback_factor))
                 | ~jnp.isfinite(cost))
     new_done = ((gmax < tsc * opt.tol_grad)
                 | (improved & small_step)

@@ -313,10 +313,16 @@ def make_ilqr_solver(ocp: OCP, options: ILQROptions = ILQROptions()):
                            & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
             ddp_on_n = ddp_on & ~ddp_off_now
             stall_n = jnp.where(ddp_off_now, 0, stall_n)
-            # Failure: regularization exhausted without progress, or the cost
-            # became non-finite (diverged rollout / NaN dynamics).  Terminates
-            # the loop but is NOT counted as convergence.
-            new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now)
+            # Failure: regularization exhausted without progress WHILE the
+            # gradient is still large, or the cost became non-finite
+            # (diverged rollout / NaN dynamics).  Terminates the loop but is
+            # NOT counted as convergence.  The small-gradient guard matters
+            # for warm starts that are already optimal: no candidate can
+            # improve, and reg reaches reg_max in exactly stall_iters
+            # rejections (1e-6 * 100^8 = 1e10), so without it the fail path
+            # outraces the documented stall-as-stationarity termination.
+            new_fail = (((~improved) & (reg >= opt.reg_max) & ~ddp_off_now
+                         & (gmax > opt.tol_grad * opt.ddp_fallback_factor))
                         | ~jnp.isfinite(cost))
             new_done = (
                 (gmax < opt.tol_grad)
