@@ -75,7 +75,7 @@ def build_ocp(N: int):
 
 
 def roofline(N, nx, nu, npar, A, mean_iters, solves_per_s, use_ddp=True,
-             width=1024, refill_R=1):
+             width=1024, refill_R=1, body_s=None):
     """First-principles ceilings for one DDP iteration (docs/design.md).
 
     Bytes: every tensor that crosses a kernel boundary inside the iteration
@@ -113,37 +113,32 @@ def roofline(N, nx, nu, npar, A, mean_iters, solves_per_s, use_ddp=True,
     vpu_rate = VPU / flops_per_iter
     iter_rate = solves_per_s * mean_iters  # measured problem-iterations/s
 
-    # LATENCY ceiling (VERDICT r3 #2): this workload is launch-latency
-    # bound, so the reachable rate on this toolchain is set by the
-    # iteration body's irreducible sequential structure, not by HBM/VPU.
-    # Constants measured by benchmarks/glue.py on 1x v5e (round 4,
-    # null-baselined chained dispatches at W=1024, N=40):
-    #   - XLA line-search scan step ~4.2 us (167 us / 40 steps; unroll > 1
-    #     measured SLOWER, so N sequential steps is the floor),
-    #   - derivs megafusion ~17 us, Pallas backward ~3.3 us (phases.py r3),
-    #   - packed refill glue ~17 us per refill tick (glue.py r4).
-    # Floor per iteration = N*t_step + t_deriv + t_bwd + t_glue/refill_R.
-    # Validity: the constants were measured at W=1024 and the body is NOT
-    # width-flat beyond it (W sweep in benchmarks/RESULTS_r04.md: 0.289 ->
-    # 0.312 -> 0.394 us/problem-iteration at W=1024/2048/4096), so the
-    # width term only scales the ceiling up to the measured optimum.
-    t_step, t_deriv, t_bwd, t_glue = 4.2e-6, 17e-6, 3.3e-6, 17e-6
-    t_iter_floor = N * t_step + t_deriv + t_bwd + t_glue / max(refill_R, 1)
-    lat_rate = min(width, 1024) / t_iter_floor  # problem-iterations/s ceiling
-    return {
+    out = {
         "roofline_bytes_per_prob_iter": bytes_per_iter,
         "roofline_flops_per_prob_iter": flops_per_iter,
         "roofline_hbm_bound_solves_per_s": round(hbm_rate / mean_iters, 0),
         "roofline_vpu_bound_solves_per_s": round(vpu_rate / mean_iters, 0),
-        "roofline_latency_bound_solves_per_s": round(
-            lat_rate / mean_iters, 0),
-        "roofline_iter_floor_us": round(t_iter_floor * 1e6, 1),
         "roofline_hbm_fraction": round(iter_rate / hbm_rate, 4),
-        # sol_fraction now judges against the BINDING ceiling, which on this
-        # toolchain is the latency bound (HBM/VPU are far away)
+        # fraction of the PHYSICAL binding ceiling (HBM or VPU).  The r3/r4
+        # "latency ceiling" model (N*t_step + component floor) is RETIRED:
+        # round 5's W-scaling measurement showed the in-loop body is
+        # per-problem compute (body doubles when W doubles), so the honest
+        # toolchain ceiling is the MEASURED body, reported separately below
+        # (docs/design.md "The body, corrected").
         "roofline_sol_fraction": round(
-            iter_rate / min(hbm_rate, vpu_rate, lat_rate), 4),
+            iter_rate / min(hbm_rate, vpu_rate), 4),
     }
+    if body_s is not None and body_s > 0:
+        # measured-body ceiling: what the headline would be if the +2/R
+        # overhead passes (fresh rollout + scatter tick) were free; the
+        # achieved/ceiling ratio is therefore the overhead-pass efficiency
+        body_rate = width / body_s           # problem-iterations/s
+        out["roofline_body_bound_solves_per_s"] = round(
+            body_rate / mean_iters, 0)
+        out["roofline_body_us"] = round(body_s * 1e6, 1)
+        out["roofline_overhead_pass_efficiency"] = round(
+            mean_iters / (mean_iters + 2.0 / max(refill_R, 1)), 4)
+    return out
 
 
 def bench_mesh(args):
@@ -471,7 +466,8 @@ def main():
     def cl_barrier(r):
         return float(jnp.sum(r.xs[-1]))
 
-    def closedloop(Ncl, Bc=None, Nsim=84, randomized=False, max_iters=20):
+    def closedloop(Ncl, Bc=None, Nsim=84, randomized=False, max_iters=20,
+                   cl_solver="batched"):
         """Fleet of Bc plants running the Nsim-step receding-horizon loop
         (the reference's 84-step diff-drive run, single_shooting_v1.py) at
         horizon Ncl; returns (min wall time, final-position-error array,
@@ -487,9 +483,20 @@ def main():
         Bc = min(1024, args.batch) if Bc is None else Bc
         ocp_cl = build_ocp(Ncl)
         cl_opts = dataclasses.replace(opts, max_iters=max_iters)
+        if cl_solver == "streaming":
+            # the streaming solver's in-place restarts ride INSIDE each
+            # fleet step: a per-step solve that hits reg exhaustion mid-
+            # approach (an f32 crawler) restarts fresh instead of being
+            # flagged failed — measured: step_conv_min 0.981 -> 0.999 at
+            # identical fleet landing quality, for ~29% of throughput
+            # (the restart tails).  The honest full-convergence fleet mode.
+            solve_cl = make_streaming_solver(
+                ocp_cl, cl_opts, backend=kern, batch_width=Bc, restarts=2)
+        else:
+            solve_cl = make_batched_ilqr_solver(ocp_cl, cl_opts,
+                                                backend=kern)
         run_cl = jax.jit(make_batched_receding_horizon(
-            ocp_cl, make_batched_ilqr_solver(ocp_cl, cl_opts, backend=kern),
-            lambda x, u, pp: plant(x, u, None), Nsim))
+            ocp_cl, solve_cl, lambda x, u, pp: plant(x, u, None), Nsim))
         rng_c = np.random.default_rng(7)
         if randomized:
             x0c = jnp.array(rng_c.uniform(-2.0, 2.0, (Bc, 3)), jnp.float32)
@@ -521,21 +528,28 @@ def main():
     # VERDICT r3 #6 + r4 W3/W7: the flagship serving number at the BASELINE
     # workload's horizon — an N=40 fleet of RANDOMIZED plants (diverse x0
     # and per-plant targets), with the final-error DISTRIBUTION and the
-    # per-step fleet convergence fraction reported.  Nsim=110 (not the
+    # per-step fleet convergence fraction reported.  Nsim=125 (not the
     # fixed-start run's 84): a plant starting at the -2 ball corner heading
     # for a +0.5-perturbed target has up to ~17.7 of path to cover at
     # v <= 1, T = 0.2 -> 84 steps (16.8 reachable) cannot honestly meet the
-    # 0.1 ball for the whole fleet; 110 steps (22.0) can, with margin for
-    # turning.  Throughput keys are per-step, so they stay comparable.
+    # 0.1 ball for the whole fleet; 125 steps (25.0) can, with margin for
+    # turning and the decelerating approach (measured: the worst B=1024
+    # draws are still ~0.12 out at step 110 while closing healthily).
+    # Throughput keys are per-step, so they stay comparable.
     # max_iters=80: the step-0 COLD solves of a randomized fleet need the
     # full cold-crawler budget (measured: cap 40 leaves ~1.6% of plants
     # budget-capped on step 0, cap 80 converges 100%) — which the
     # step-conv key would rightly flag.  The while_loop exits early on
     # warm steps (mean ~7 iters), so the larger cap only costs time on
     # step 0 where stragglers actually run (~3% of fleet wall time).
-    Nsim40 = 110
+    # Nsim=125: at B=1024 the worst draws start ~17.2 m out with adverse
+    # headings and are still healthily closing (100% converged, d
+    # monotone) at step 110 with ~0.12 to go — a travel-time shortfall,
+    # not a solver issue (diagnosed r5); 125 steps = 25 m of reach.
+    Nsim40 = 125
     dtc40, err40, Bc40, conv40 = closedloop(40, Nsim=Nsim40, randomized=True,
-                                            max_iters=80)
+                                            max_iters=80,
+                                            cl_solver="streaming")
 
     # interior-point path (IPOPT-family analogue): the STREAMING mu
     # continuation (VERDICT r3 #5) — per-slot mu rounds + in-place restarts
@@ -636,7 +650,8 @@ def main():
         **ipm,
         **roofline(N, ocp.nx, ocp.nu, 3, opts.n_alphas,
                    max(float(res_f.iterations.mean()), 1.0), full_sps,
-                   width=args.width, refill_R=args.refill_every),
+                   width=args.width, refill_R=args.refill_every,
+                   body_s=body_s),
     }
     print(json.dumps(out))
 
