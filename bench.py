@@ -129,15 +129,16 @@ def roofline(N, nx, nu, npar, A, mean_iters, solves_per_s, use_ddp=True,
             iter_rate / min(hbm_rate, vpu_rate), 4),
     }
     if body_s is not None and body_s > 0:
-        # measured-body ceiling: what the headline would be if the +2/R
-        # overhead passes (fresh rollout + scatter tick) were free; the
+        # measured-body ceiling: what the headline would be if the +1/R
+        # overhead pass (detection tick + drain; the fresh-rollout pass was
+        # removed by the round-5 pre-rolled queue) were free; the
         # achieved/ceiling ratio is therefore the overhead-pass efficiency
         body_rate = width / body_s           # problem-iterations/s
         out["roofline_body_bound_solves_per_s"] = round(
             body_rate / mean_iters, 0)
         out["roofline_body_us"] = round(body_s * 1e6, 1)
         out["roofline_overhead_pass_efficiency"] = round(
-            mean_iters / (mean_iters + 2.0 / max(refill_R, 1)), 4)
+            mean_iters / (mean_iters + 1.0 / max(refill_R, 1)), 4)
     return out
 
 
@@ -387,9 +388,11 @@ def main():
     # problems free their slots before the cap, so the budget delta is the
     # wrong divisor; that bias hid a 43% gap between the published body and
     # the headline for a full round).  Then assert the identity
-    #   solves/s ~= W / ((mean_iters + 2/refill_R) * body)
-    # within 10%: the +2/R counts each problem's fresh-rollout pass and
-    # scatter tick, which differencing cancels but the headline pays.
+    #   solves/s ~= W / ((mean_iters + 1/refill_R) * body)
+    # within 10%: the +1/R counts each problem's convergence-detection
+    # tick plus drain/tail effects, which differencing cancels but the
+    # headline pays.  (Round 5's pre-rolled queue removed the fresh-rollout
+    # pass that used to make this +2/R — solver/streaming.py.)
     def _probe(mi):
         t0 = time.time()
         r = ssolve(x0q, psq, us0q, mi, 0)
@@ -399,7 +402,7 @@ def main():
     t1, it1 = min(_probe(1) for _ in range(args.reps))
     t21, it21 = min(_probe(21) for _ in range(args.reps))
     body_s = (t21 - t1) / max((it21 - it1) / args.width, 1e-9)
-    passes = float(res_f.iterations.mean()) + 2.0 / max(args.refill_every, 1)
+    passes = float(res_f.iterations.mean()) + 1.0 / max(args.refill_every, 1)
     predicted_sps = args.width / (passes * body_s)
     recon_ratio = predicted_sps / full_sps
 
@@ -598,7 +601,7 @@ def main():
         "sync_latency_ms": round(sync_ms, 2),
         # honest per-iteration body (budget differencing with the MEASURED
         # iteration-delta divisor) + the reconciliation identity headline ~=
-        # W / ((mean_iters + 2/R) * body).  A ratio outside [0.9, 1.1]
+        # W / ((mean_iters + 1/R) * body).  A ratio outside [0.9, 1.1]
         # means one of the two measurements is lying (VERDICT r4 W1/W2).
         "body_us": round(body_s * 1e6, 1),
         "body_probe_mean_iters_b1": round(it1 / M, 2),

@@ -15,10 +15,15 @@ a fixed-width slot batch and a *queue* of M problems in HBM:
   * when a slot's problem converges (or exhausts its budget), its result is
     scattered to the output buffers and the slot immediately reloads the
     next queued problem;
-  * a reloaded slot's first pass doubles as its initial rollout: its
-    feedback gains are zeroed, so the shared line-search pass rolls out the
-    fresh problem's warm start at every alpha (all identical) — refill adds
-    ZERO sequential depth to the iteration body.
+  * the queue is PRE-ROLLED: the initial rollout (trajectory + cost) of
+    every queued problem is computed up front in ONE batched scan over the
+    whole queue and stored in the packed queue row, so a refilled slot's
+    very first pass is already a real DDP iteration (backward on a valid
+    trajectory).  Round 4's alternative — a "fresh" pass whose zeroed gains
+    turned the shared line search into the initial rollout — paid one full
+    iteration body (backward + A-alpha line search) per problem for work
+    that is a single rollout, embarrassingly parallel over the queue; the
+    pre-roll moves it out of the loop (round 5, ~6% headline).
 
 Total device time is therefore ~(mean iterations x per-iteration cost x
 M / B) instead of ~(max iterations x ...): the straggler tail of one batch
@@ -150,6 +155,23 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         n_rounds, advance = 1, None
     parts = _make_parts(ocp, opt, backend, linesearch)
 
+    # True cost of the CURRENT (xs, us) under a slot's CURRENT params —
+    # elementwise over stages, no sequential scan.  Continuation advances
+    # (AL multiplier update / IPM mu step) and in-place restarts use it to
+    # re-base the acceptance cost without a re-roll: the accepted (xs, us)
+    # are already the exact rollout of us (the line search materializes
+    # them through the same dynamics), only the cost function changed.
+    # Bitwise-identical to rollout1's reduction (same per-stage values,
+    # same jnp.sum order).
+    l_run = ocp.stage_cost
+    lf_run = ocp.terminal_cost or (lambda x, p: jnp.zeros((), dtype=x.dtype))
+
+    def _cost1(xs1, us1, ps1):
+        cs = jax.vmap(l_run)(xs1[:N], us1, ps1[:N])
+        return jnp.sum(cs) + lf_run(xs1[N], ps1[N])
+
+    batch_cost = jax.vmap(_cost1)
+
     def solve(x0q, params=None, us_init=None, max_iters=None, restarts_n=None):
         """Solve the queue.  ``max_iters`` / ``restarts_n`` override the
         build-time per-problem iteration budget and in-place restart budget
@@ -194,18 +216,27 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
         npar_t = psq.shape[-1]
         sx, su = (N + 1) * nx, N * nu
         sp = (N + 1) * npar_t
-        # ONE packed queue row per problem [x0 | ps | us0]: refilling a slot
-        # costs a single gather instead of three (measured: the glue block's
-        # scatters/gathers dominate the per-iteration fixed latency,
+        # PRE-ROLL the whole queue: one batched rollout (width M, the only
+        # sequential axis is the horizon) yields every problem's initial
+        # trajectory, clipped warm-start controls, and cost.  Refilled slots
+        # then start mid-solve — their first pass is a real backward on a
+        # valid trajectory instead of a rollout-only "fresh" pass, saving
+        # one full iteration body per problem (round 5; docs/design.md).
+        xs0q, usc0q, c0q = parts.rollout(x0q, us0q, psq)
+        # ONE packed queue row per problem [x0 | ps | us0 | xs0 | cost0]:
+        # refilling a slot costs a single gather instead of several
+        # (measured: the glue block's scatter/gather OP COUNT — not payload
+        # bytes — dominates its per-iteration fixed latency,
         # benchmarks/glue.py)
         qpk = jnp.concatenate(
-            [x0q, psq.reshape(M, sp), us0q.reshape(M, su)], axis=1)
+            [x0q, psq.reshape(M, sp), usc0q.reshape(M, su),
+             xs0q.reshape(M, sx), c0q[:, None]], axis=1)
         qpk = qpk + vz.astype(dt_f)
 
         idx0 = np.arange(B, dtype=np.int32)
         n0 = min(B, M)
         prob0 = np.where(idx0 < n0, idx0, M).astype(np.int32)
-        fresh0 = idx0 < n0
+        active0 = idx0 < n0
         g0 = np.clip(prob0, 0, M - 1)
 
         def _vary(leaf):
@@ -215,12 +246,12 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
 
         inf = np.asarray(np.inf, dt_f)
         state0 = (
-            np.zeros((B, N + 1, nx), dt_f),      # xs (stale until rollout)
-            us0q[g0],                            # us (nominal = warm start)
-            np.full((B,), np.inf, dt_f),         # cost (inf: accept rollout)
+            xs0q[g0],                            # xs (pre-rolled)
+            usc0q[g0],                           # us (clipped warm start)
+            c0q[g0],                             # cost (pre-rolled)
             np.full((B,), opt.reg_init, dt_f),   # reg
-            np.full((B,), -1, np.int32),         # it (-1: rollout pass is 0)
-            ~fresh0,                             # done (idle slots)
+            np.zeros((B,), np.int32),            # it
+            ~active0,                            # done (idle slots)
             np.full((B,), np.inf, dt_f),         # gnorm
             np.zeros((B,), np.int32),            # stall
             np.zeros((B,), bool),                # fail
@@ -230,7 +261,6 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             x0q[g0],                             # x0s per slot
             psq[g0],                             # ps per slot
             prob0,                               # problem index (M = idle)
-            fresh0,                              # fresh flag
             np.zeros((B,), bool),                # capped flag
             np.zeros((B,), np.int32),            # restarts used
             np.zeros((B,), np.int32),            # iters before restart
@@ -254,7 +284,7 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             problems into their slots.  Pure glue: one packed scatter, one
             packed gather, one where-chain over the slot state."""
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = state
-            x0s, ps, prob, fresh_in, capped, rst, iacc, nq, alr = book
+            x0s, ps, prob, capped, rst, iacc, nq, alr = book
 
             fin = done & (prob < M)
             widx = jnp.where(fin, prob, M)
@@ -275,13 +305,15 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 has.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
             x0s = selb(qrow[:, :nx], x0s)
             ps = selb(qrow[:, nx:nx + sp].reshape(B, N + 1, npar_t), ps)
-            us = selb(qrow[:, nx + sp:].reshape(B, N, nu), us)
-            # a dead problem may leave NaNs in the slot trajectory; the fresh
-            # pass zeroes the gains but 0 * NaN is still NaN in K @ (x-x_nom)
-            xs = selb(jnp.zeros_like(xs), xs)
-            cost = jnp.where(has, inf, cost)
+            us = selb(qrow[:, nx + sp:nx + sp + su].reshape(B, N, nu), us)
+            # the pre-rolled trajectory replaces whatever the dead problem
+            # left in the slot (including NaNs — containment preserved: a
+            # NaN queue entry pre-rolls to a NaN cost and fails only itself)
+            xs = selb(qrow[:, nx + sp + su:nx + sp + su + sx]
+                      .reshape(B, N + 1, nx), xs)
+            cost = jnp.where(has, qrow[:, -1], cost)
             reg = jnp.where(has, np.asarray(opt.reg_init, dt_f), reg)
-            it = jnp.where(has, -1, it)
+            it = jnp.where(has, 0, it)
             gnorm = jnp.where(has, inf, gnorm)
             stall = jnp.where(has, 0, stall)
             fail = jnp.where(has, False, fail)
@@ -293,17 +325,20 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             iacc = jnp.where(has, 0, iacc)
             alr = jnp.where(has, 0, alr)
             nq = (nq + jnp.sum(has.astype(jnp.int32))).astype(jnp.int32)
-            fresh = fresh_in | has
 
             state = (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on)
-            book = (x0s, ps, prob, fresh, capped, rst, iacc, nq, alr)
+            book = (x0s, ps, prob, capped, rst, iacc, nq, alr)
             return state, book, out
 
         def compute(state, book):
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = state
-            x0s, ps, prob, fresh, capped, rst, iacc, nq, alr = book
+            x0s, ps, prob, capped, rst, iacc, nq, alr = book
 
             # --- one shared solver iteration ------------------------------
+            # (every slot's xs/cost are always consistent with its us and ps
+            # — the pre-rolled queue, the cost re-base at continuation
+            # advances, and the line search's materialized accepts maintain
+            # the invariant — so every pass is a real DDP iteration)
             if parts.fused is not None:
                 kffs, Ks, dV1, dV2, gmax = parts.fused(
                     xs, us, ps, reg, ddp_on.astype(dt_f))
@@ -311,31 +346,28 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 d, gN, HN, dlb, dub = parts.derivs(xs, us, ps)
                 kffs, Ks, dV1, dV2, gmax = parts.backward(
                     d, gN, HN, dlb, dub, reg, ddp_on.astype(dt_f))
-            # a fresh slot's backward ran on stale xs: zero its gains so the
-            # line-search pass is exactly the plain rollout of its warm start
-            fz = fresh.reshape((B, 1, 1))
-            kffs = jnp.where(fz, 0.0, kffs)
-            Ks = jnp.where(fresh.reshape((B, 1, 1, 1)), 0.0, Ks)
-            gmax = jnp.where(fresh, inf, gmax)
             xs_b, us_b, new_cost = parts.linesearch(x0s, xs, us, ps, kffs, Ks)
             tsc = None if tol_scale_fn is None else tol_scale_fn(ps)
             st = _accept_and_update(
                 opt, (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on),
-                gmax, xs_b, us_b, new_cost, fresh=fresh, tol_scale=tsc)
+                gmax, xs_b, us_b, new_cost, tol_scale=tsc)
             xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on = st
 
             # per-slot iteration budget (the batched solver's loop-level cap)
             newly_capped = ~done & (it >= mi)
-            # Requeue in place: fresh solver state, warm start at the best
-            # iterate (the drain-restart that unsticks crawlers).  Covers
-            # BOTH exhausted budgets and reg-exhaustion failures — a
-            # "failed" crawler (regularization maxed out while still
-            # occasionally improving) usually converges after a restart
-            # resets its reg/stall state (measured: failures are ~all of
-            # the 0.5% full-mode non-convergers at N=40, iters 20-47 <<
-            # cap).  With rs == 0 every `redo` is False and this block is
-            # free elementwise arithmetic — always compiled in, so the
-            # restart budget can be runtime data.
+            # Requeue in place: fresh solver state (regularization, stall
+            # counters, DDP mode), warm-started at the best iterate — the
+            # drain-restart that unsticks crawlers.  Covers BOTH exhausted
+            # budgets and reg-exhaustion failures — a "failed" crawler
+            # (regularization maxed out while still occasionally improving)
+            # usually converges after a restart resets its reg/stall state
+            # (measured: failures are ~all of the 0.5% full-mode
+            # non-convergers at N=40, iters 20-47 << cap).  The slot's
+            # (xs, us, cost) stay — they are the accepted consistent triple,
+            # so no re-roll pass is needed (round 5).  With rs == 0 every
+            # `redo` is False and this block is free elementwise arithmetic
+            # — always compiled in, so the restart budget can be runtime
+            # data.
             bad_now = newly_capped | (done & fail & (prob < M))
             redo = bad_now & (rst < rs)
             newly_capped = newly_capped & ~redo
@@ -343,13 +375,11 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
             done = jnp.where(redo, False, done)
             iacc = jnp.where(redo, iacc + it, iacc)
             rst = rst + redo.astype(jnp.int32)
-            cost = jnp.where(redo, inf, cost)
             reg = jnp.where(redo, np.asarray(opt.reg_init, dt_f), reg)
-            it = jnp.where(redo, -1, it)
+            it = jnp.where(redo, 0, it)
             stall = jnp.where(redo, 0, stall)
             gnorm = jnp.where(redo, inf, gnorm)
             ddp_on = jnp.where(redo, bool(opt.use_ddp), ddp_on)
-            fresh_next = redo
             done = done | newly_capped
             capped = capped | newly_capped
 
@@ -358,17 +388,20 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 # ended (converged, failed, or budget-capped — matching the
                 # unconditional al_round scan of make_ilqr_solver) at
                 # round < n_rounds-1 gets its param tensor rewritten by the
-                # advance fn (AL multiplier update / IPM mu step) and
-                # restarts the inner solve fresh.
+                # advance fn (AL multiplier update / IPM mu step) and starts
+                # the next inner solve directly: (xs, us) are unchanged by
+                # the advance, so the acceptance cost is just RE-BASED to
+                # the new params elementwise (batch_cost) — no re-roll pass
+                # (round 5; saves one iteration body per continuation round).
                 adv = done & (prob < M) & (alr < n_rounds - 1)
                 ps_n = advance(ps, xs, alr)
                 a3 = adv.reshape((B, 1, 1))
                 ps = jnp.where(a3, ps_n, ps)
                 alr = alr + adv.astype(jnp.int32)
                 iacc = jnp.where(adv, iacc + jnp.maximum(it, 0), iacc)
-                cost = jnp.where(adv, inf, cost)
+                cost = jnp.where(adv, batch_cost(xs, us, ps), cost)
                 reg = jnp.where(adv, np.asarray(opt.reg_init, dt_f), reg)
-                it = jnp.where(adv, -1, it)
+                it = jnp.where(adv, 0, it)
                 stall = jnp.where(adv, 0, stall)
                 gnorm = jnp.where(adv, inf, gnorm)
                 fail = jnp.where(adv, False, fail)
@@ -379,10 +412,9 @@ def make_streaming_solver(ocp: OCP, options: ILQROptions = ILQROptions(),
                 # its own round's budget before the multiplier advance)
                 rst = jnp.where(adv, 0, rst)
                 done = done & ~adv
-                fresh_next = fresh_next | adv
 
             state = (xs, us, cost, reg, it, done, gnorm, stall, fail, ddp_on)
-            book = (x0s, ps, prob, fresh_next, capped, rst, iacc, nq, alr)
+            book = (x0s, ps, prob, capped, rst, iacc, nq, alr)
             return (state, book)
 
         def body(carry):
