@@ -147,6 +147,40 @@ def test_streaming_barrier_matches_exact_ddp():
     assert (np.array(rs.iterations) > np.array(rd.iterations)).all()
 
 
+def test_streaming_barrier_ddp_warmstart_hybrid():
+    """warmstart='ddp': the DDP phase identifies the active set at DDP
+    speed, then a single interior stage + mu=0 crossover recenters/polishes
+    through the barrier — same optima as the cold continuation, measurably
+    fewer total iterations (the cold path's schedule-invariant crawl to the
+    active set is what the warm start removes; docs/design.md)."""
+    from mpc_verde_tpu.solver.ipm import make_streaming_barrier_solver
+
+    ocp = _diffdrive_ocp()
+    M = 8
+    rng = np.random.default_rng(5)
+    x0s = jnp.array(rng.uniform(-2, 2, (M, 3)))
+    params = jnp.broadcast_to(jnp.array([5.0, 5.0, 0.0]), (M, N + 1, 3))
+    us0 = jnp.zeros((M, N, 2))
+
+    opts = mv.ILQROptions(max_iters=80)
+    cold = jax.jit(make_streaming_barrier_solver(
+        ocp, opts, backend="xla", batch_width=4, restarts=1))(
+        x0s, params, us0)
+    hyb = jax.jit(make_streaming_barrier_solver(
+        ocp, opts, backend="xla", mu_schedule=(1e-4,), batch_width=4,
+        restarts=1, warmstart="ddp"))(x0s, params, us0)
+    assert bool(hyb.converged.all())
+    # same optima as the cold interior-point continuation
+    assert np.allclose(np.array(hyb.cost), np.array(cold.cost), rtol=1e-6)
+    assert np.abs(np.array(hyb.us) - np.array(cold.us)).max() < 1e-4
+    # and genuinely cheaper: total passes (DDP phase INCLUDED) below cold
+    assert float(hyb.iterations.mean()) < float(cold.iterations.mean())
+    # the reported count includes the DDP phase (> any single-phase floor)
+    rd = jax.jit(make_batched_ilqr_solver(ocp, opts, backend="xla"))(
+        x0s, params, us0)
+    assert (np.array(hyb.iterations) > np.array(rd.iterations)).all()
+
+
 def test_barrier_term_boundary_semantics():
     """Regression (round-4 review): a control clipped exactly to the box
     must price +inf (rejection) at mu > 0 — the sentinel's SIGN is what
