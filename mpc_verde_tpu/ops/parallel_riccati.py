@@ -48,6 +48,79 @@ class LQTElement(NamedTuple):
     J: jnp.ndarray    # (..., nx, nx)
 
 
+def _assoc_scan(fn, elems):
+    """Inclusive prefix combine over the leading axis.
+
+    Drop-in for ``jax.lax.associative_scan(fn, elems)``; ``fn(left,
+    right)`` with left spanning earlier stages (the lax orientation).
+    Two code paths:
+
+      * parallel Hillis-Steele doubling (log2 N levels of shift +
+        full-width combine + mask) — the deployment form: O(log N)
+        sequential depth, O(N log N) combines (vs the recursive lax
+        form's O(N) — noise at these element sizes);
+      * a sequential ``lax.scan`` fold on the CPU x64 path ONLY, because
+        this image's XLA:CPU backend miscompiles BOTH parallel
+        formulations of this prefix in f64 (the lax form corrupts the
+        glibc heap at compile time ~50%/process; the doubling form
+        sporadically computes its deepest level wrong) while every
+        sequential-scan f64 program and all f32 programs compile clean —
+        measured, minimized, and recorded in docs/design.md "The x64
+        associative-scan miscompile".  The fold runs the IDENTICAL
+        combine, so f64 parity tests verify the same algebra.
+
+    In the doubling path, combines are evaluated on garbage rows for
+    k < d and masked out — safe because ``jnp.where`` selects values,
+    and no gradient flows through this path.
+    """
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[0]
+    import numpy as _np
+
+    if leaves[0].dtype == jnp.float64 and jax.default_backend() == "cpu":
+        # The CPU x64 verification path folds SEQUENTIALLY.  Round-5
+        # measurement: on this image, XLA:CPU miscompiles BOTH parallel
+        # formulations of this prefix in f64 — the lax form corrupts the
+        # heap at compile time (~50%/process), and the doubling form
+        # (with or without per-level optimization_barrier fences)
+        # sporadically computes the deepest level wrong (~10-40% of
+        # compiles, ~0.1-scale errors in the earliest stages) — while
+        # the f32 programs and every sequential-scan program in the
+        # suite compile clean.  The fold below runs the IDENTICAL
+        # five-tuple combine through ``lax.scan`` (the toolchain's
+        # reliable path), so the f64 parity tests still verify the
+        # element algebra exactly; only the depth bound changes, on a
+        # path whose purpose is verification, not speed.  The parallel
+        # doubling form below serves f32 and every non-CPU backend (the
+        # deployment path: TPU, f32).  Full record in docs/design.md
+        # "The x64 associative-scan miscompile".
+        first = jax.tree_util.tree_map(lambda a: a[0], elems)
+        rest = jax.tree_util.tree_map(lambda a: a[1:], elems)
+
+        def step(carry, x):
+            new = fn(carry, x)
+            return new, new
+
+        _, tail = jax.lax.scan(step, first, rest)
+        return jax.tree_util.tree_map(
+            lambda f0, r: jnp.concatenate([f0[None], r], axis=0),
+            first, tail)
+
+    acc = elems
+    d = 1
+    while d < n:
+        shifted = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a[:d], a[:-d]], axis=0), acc)
+        comb = fn(shifted, acc)
+        mask = _np.arange(n) >= d
+        acc = jax.tree_util.tree_map(
+            lambda c, a: jnp.where(
+                mask.reshape((n,) + (1,) * (a.ndim - 1)), c, a),
+            comb, acc)
+        d *= 2
+    return acc
+
+
 def _combine(ei: LQTElement, ej: LQTElement) -> LQTElement:
     """Associative composition: element i spans earlier stages than j."""
     nx = ei.A.shape[-1]
@@ -97,7 +170,7 @@ def lqt_backward_parallel(Fs, cs, Ls, Xs, rs, Us, XN, rN):
 
     # reverse associative scan: result[k] spans stages k..N
     rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), elems)
-    acc = jax.lax.associative_scan(
+    acc = _assoc_scan(
         lambda a, b: _combine(b, a), rev)  # note flipped order
     out = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), acc)
     return out.J, out.eta
@@ -177,7 +250,7 @@ def lq_backward_parallel(fxs, fus, lxs, lus, lxxs, luus, luxs, gN, HN, reg):
     elems = jax.tree_util.tree_map(
         lambda a, t: jnp.concatenate([a, t], axis=0), elems, term)
     rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), elems)
-    acc = jax.lax.associative_scan(lambda a, b: _combine(b, a), rev)
+    acc = _assoc_scan(lambda a, b: _combine(b, a), rev)
     out = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), acc)
     Js, etas = out.J, out.eta
 
